@@ -301,7 +301,18 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         iterations=int(m.opt.iterations),
         ls_iterations=int(m.opt.ls_iterations),
         disableflags=int(m.opt.disableflags),
+        tolerance=float(m.opt.tolerance),
+        ls_tolerance=float(m.opt.ls_tolerance),
     )
+
+    # dof ancestor mask for the dense CRB mass matrix
+    dof_parentid = np.asarray(m.dof_parentid)
+    ancestor_mask = np.zeros((m.nv, m.nv), dtype=bool)
+    for i in range(m.nv):
+        j = i
+        while j >= 0:
+            ancestor_mask[i, j] = True
+            j = int(dof_parentid[j])
 
     return Model(
         opt=opt,
@@ -367,6 +378,19 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         ntendon=int(m.ntendon),
         neq=int(m.neq),
         body_parentid=np.asarray(m.body_parentid),
+        dof_parentid=dof_parentid,
+        dof_ancestor_mask=ancestor_mask,
+        body_invweight0=np.asarray(m.body_invweight0),
+        dof_invweight0=np.asarray(m.dof_invweight0),
+        tendon_invweight0=np.asarray(m.tendon_invweight0),
+        tendon_range=np.asarray(m.tendon_range),
+        tendon_limited=np.asarray(m.tendon_limited),
+        tendon_stiffness=np.asarray(m.tendon_stiffness),
+        tendon_damping=np.asarray(m.tendon_damping),
+        tendon_lengthspring=np.asarray(m.tendon_lengthspring),
+        tendon_solref_lim=np.asarray(m.tendon_solref_lim),
+        tendon_solimp_lim=np.asarray(m.tendon_solimp_lim),
+        tendon_margin=np.asarray(m.tendon_margin),
         body_rootid=np.asarray(m.body_rootid),
         body_weldid=np.asarray(m.body_weldid),
         body_jntadr=np.asarray(m.body_jntadr),

@@ -117,9 +117,11 @@ class Option:
     # static:
     integrator: int = static_field(default=int(IntegratorType.EULER))
     cone: int = static_field(default=int(ConeType.PYRAMIDAL))
-    iterations: int = static_field(default=8)
-    ls_iterations: int = static_field(default=8)
+    iterations: int = static_field(default=100)
+    ls_iterations: int = static_field(default=50)
     disableflags: int = static_field(default=0)
+    tolerance: float = static_field(default=1e-8)
+    ls_tolerance: float = static_field(default=0.01)
 
 
 @pytree_dataclass
@@ -197,6 +199,25 @@ class Model:
     ntendon: int = static_field(default=0)
     neq: int = static_field(default=0)
     body_parentid: np.ndarray = static_field(default=None)
+    # dof tree ancestry: dof_parentid chain and the derived (nv, nv) bool mask
+    # ancestor_mask[i, j] = (j == i) or (j is an ancestor dof of i); used to
+    # sparsify the dense CRB mass matrix without a tree traversal at runtime.
+    dof_parentid: np.ndarray = static_field(default=None)
+    dof_ancestor_mask: np.ndarray = static_field(default=None)
+    # precomputed inverse-weights from the host-side compiler (mjModel
+    # *_invweight0), used for constraint regularization parity:
+    body_invweight0: np.ndarray = static_field(default=None)  # (nbody, 2)
+    dof_invweight0: np.ndarray = static_field(default=None)  # (nv,)
+    tendon_invweight0: np.ndarray = static_field(default=None)  # (ntendon,)
+    # tendon limits/passive params
+    tendon_range: np.ndarray = static_field(default=None)  # (ntendon, 2)
+    tendon_limited: np.ndarray = static_field(default=None)  # (ntendon,)
+    tendon_stiffness: np.ndarray = static_field(default=None)
+    tendon_damping: np.ndarray = static_field(default=None)
+    tendon_lengthspring: np.ndarray = static_field(default=None)  # (ntendon, 2)
+    tendon_solref_lim: np.ndarray = static_field(default=None)  # (ntendon, 2)
+    tendon_solimp_lim: np.ndarray = static_field(default=None)  # (ntendon, 5)
+    tendon_margin: np.ndarray = static_field(default=None)  # (ntendon,)
     body_rootid: np.ndarray = static_field(default=None)
     body_weldid: np.ndarray = static_field(default=None)
     body_jntadr: np.ndarray = static_field(default=None)

@@ -1,0 +1,197 @@
+"""Forward dynamics driver and integrators.
+
+Mirrors the stage structure of MuJoCo's mj_forward / mj_step (the C calls the
+reference makes at `environments/base.py:180,362,445`) as a composition of
+pure functions over the Data pytree: position stage -> velocity stage ->
+actuation -> smooth acceleration -> constraint solve -> integrate. The whole
+`step` is jittable and vmaps over envs.
+
+Integrators: EULER (semi-implicit, with implicit joint damping like
+mj_Euler's eulerdamp path) and RK4 (Atlas: `data/atlas/atlas.xml:65`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.types import Data, DisableBit, IntegratorType, Model
+from . import actuation as act_mod
+from . import collision as coll_mod
+from . import constraint as con_mod
+from . import inertia, kinematics, passive, solver, tendon, velocity
+
+
+def fwd_position(model: Model, data: Data) -> Data:
+    data = kinematics.kinematics(model, data)
+    data = kinematics.com_pos(model, data)
+    data = tendon.tendon(model, data)
+    data = inertia.crb(model, data)
+    data = inertia.factor_m(model, data)
+    data = coll_mod.collision(model, data)
+    return data
+
+
+def fwd_velocity(model: Model, data: Data) -> Data:
+    data = tendon.tendon_vel(model, data)
+    data = velocity.com_vel(model, data)
+    data = passive.passive(model, data)
+    data = velocity.rne(model, data)
+    return data
+
+
+def fwd_actuation(model: Model, data: Data) -> Data:
+    return act_mod.actuation(model, data)
+
+
+def fwd_acceleration(model: Model, data: Data) -> Data:
+    qfrc_smooth = (
+        data.qfrc_passive
+        - data.qfrc_bias
+        + data.qfrc_actuator
+        + data.qfrc_applied
+    )
+    # xfrc_applied is unused by the reference envs (no external pushes), but
+    # supported for API parity: project body wrenches through cdof.
+    qfrc_smooth = qfrc_smooth + _xfrc_projection(model, data)
+    qacc_smooth = inertia.solve_m(model, data, qfrc_smooth)
+    return data.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
+
+
+def _xfrc_projection(model: Model, data: Data) -> jnp.ndarray:
+    # mj_xfrcAccumulate: qfrc += J_body^T xfrc, with J at body com
+    xfrc = data.xfrc_applied  # (nbody, 6) [force(3), torque(3)] MuJoCo order
+    # world-frame jacobian via cdof: for dof d and body b on its subtree,
+    # contribution = cdof_ang . (torque + (p_b - com_root) x force) + cdof_lin . force
+    # cheap exact form: torque_eff = torque + (xipos - subtree_com_root) x force
+    force = xfrc[:, :3]
+    torque = xfrc[:, 3:]
+    offset = data.xipos - data.subtree_com[model.body_rootid]
+    t_eff = torque + jnp.cross(offset, force)
+    # mask[d, b] = body b is in the subtree driven by dof d
+    mask = _dof_body_mask(model)
+    contrib = data.cdof[:, :3] @ t_eff.T + data.cdof[:, 3:] @ force.T  # (nv, nbody)
+    return jnp.sum(jnp.asarray(mask) * contrib, axis=1)
+
+
+_DOF_BODY_MASK_CACHE: dict = {}
+
+
+def _dof_body_mask(model: Model) -> np.ndarray:
+    key = (model.nbody, model.nv, model.body_parentid.tobytes())
+    hit = _DOF_BODY_MASK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    mask = np.zeros((model.nv, model.nbody))
+    for b in range(1, model.nbody):
+        bb = b
+        while bb > 0:
+            dadr, dnum = int(model.body_dofadr[bb]), int(model.body_dofnum[bb])
+            for d in range(dadr, dadr + dnum):
+                mask[d, b] = 1.0
+            bb = int(model.body_parentid[bb])
+    _DOF_BODY_MASK_CACHE[key] = mask
+    return mask
+
+
+def fwd_constraint(model: Model, data: Data) -> Data:
+    efc = con_mod.make_constraint(model, data)
+    return solver.solve(model, data, efc)
+
+
+def forward(model: Model, data: Data) -> Data:
+    data = fwd_position(model, data)
+    data = fwd_velocity(model, data)
+    data = fwd_actuation(model, data)
+    data = fwd_acceleration(model, data)
+    data = fwd_constraint(model, data)
+    return data
+
+
+def _advance_act(model: Model, data: Data, act_dot: jnp.ndarray, dt) -> jnp.ndarray:
+    if model.na == 0:
+        return data.act
+    act = data.act + dt * act_dot
+    # clamp to actrange where limited (muscle activations live in [0, 1])
+    limited = model.actuator_actlimited.astype(bool)
+    if np.any(limited):
+        lo = np.where(limited, np.asarray(model.actuator_actrange)[:, 0], -np.inf)
+        hi = np.where(limited, np.asarray(model.actuator_actrange)[:, 1], np.inf)
+        # per-actuator ranges scattered to act slots (actnum == 1 everywhere
+        # in the suite: muscle/filter activations are scalar)
+        alo = np.full(model.na, -np.inf)
+        ahi = np.full(model.na, np.inf)
+        for u in range(model.nu):
+            adr = int(model.actuator_actadr[u])
+            if adr >= 0:
+                alo[adr], ahi[adr] = lo[u], hi[u]
+        act = jnp.clip(act, jnp.asarray(alo, act.dtype), jnp.asarray(ahi, act.dtype))
+    return act
+
+
+def _euler(model: Model, data: Data) -> Data:
+    dt = model.opt.timestep
+    act = _advance_act(model, data, data.act_dot, dt)
+
+    if model.opt.disableflags & DisableBit.EULERDAMP:
+        qvel = data.qvel + dt * data.qacc
+    else:
+        # implicit damping: qvel += dt * (M + dt*diag(damping))^-1 (M qacc).
+        # With zero damping this reduces exactly to the explicit update, so
+        # the branch MuJoCo takes on damping-free models needs no special
+        # case (every robot in the suite has joint damping anyway).
+        mh = data.qM + dt * jnp.diag(model.dof_damping)
+        total_frc = inertia.mul_m(model, data, data.qacc)
+        dv = jnp.linalg.solve(mh, total_frc)
+        qvel = data.qvel + dt * dv
+
+    qpos = data.qpos + dt * qvel  # nq == nv: plain addition, no quaternions
+    return data.replace(
+        qpos=qpos, qvel=qvel, act=act, time=data.time + dt,
+        qacc_warmstart=data.qacc,
+    )
+
+
+def _rk4(model: Model, data: Data) -> Data:
+    """mj_RungeKutta with the fixed RK4 tableau."""
+    dt = model.opt.timestep
+    a = [0.5, 0.5, 1.0]
+    b = jnp.array([1.0 / 6, 1.0 / 3, 1.0 / 3, 1.0 / 6], dtype=data.qpos.dtype)
+
+    d0 = data
+    qpos0, qvel0, act0 = d0.qpos, d0.qvel, d0.act
+    derivs = [(d0.qvel, d0.qacc, d0.act_dot)]
+
+    d = d0
+    for i in range(3):
+        dq = derivs[i]
+        d = d.replace(
+            qpos=qpos0 + dt * a[i] * dq[0],
+            qvel=qvel0 + dt * a[i] * dq[1],
+            act=act0 + dt * a[i] * dq[2] if model.na else act0,
+        )
+        d = forward(model, d)
+        derivs.append((d.qvel, d.qacc, d.act_dot))
+
+    dqpos = sum(b[i] * derivs[i][0] for i in range(4))
+    dqvel = sum(b[i] * derivs[i][1] for i in range(4))
+    qpos = qpos0 + dt * dqpos
+    qvel = qvel0 + dt * dqvel
+    if model.na:
+        dact = sum(b[i] * derivs[i][2] for i in range(4))
+        act = _advance_act(model, d0, dact, dt)
+    else:
+        act = act0
+    return data.replace(
+        qpos=qpos, qvel=qvel, act=act, time=d0.time + dt,
+        qacc_warmstart=d0.qacc,
+    )
+
+
+def step(model: Model, data: Data) -> Data:
+    """One physics step: forward dynamics then integrate (mj_step)."""
+    data = forward(model, data)
+    if model.opt.integrator == int(IntegratorType.RK4):
+        return _rk4(model, data)
+    return _euler(model, data)
