@@ -1,0 +1,28 @@
+"""loco_mujoco_tpu — a TPU-native, batched reimplementation of the
+LocoMuJoCo imitation-learning benchmark (reference: robfiras/loco-mujoco).
+
+Public surface mirrors the reference package root (`loco_mujoco/__init__.py`):
+`LocoEnv`-family envs via `make("Env.task[.mode].dtype")` and
+`get_all_task_names()`, plus the batched-native API on each env:
+`reset(key) -> EnvState`, `step(state, action) -> EnvState`.
+"""
+
+from .registry import get_all_task_names, make, register, registered_envs
+from .envs import EnvState, LocoEnv
+
+# environment registrations (import side effects)
+from .models.quadrupeds import unitree_a1 as _a1  # noqa: F401
+from .models.humanoids import humanoid as _humanoid  # noqa: F401
+from .models.humanoids import unitree_h1 as _h1  # noqa: F401
+from .envs import gymnasium_env as _gym  # noqa: F401
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "make",
+    "register",
+    "registered_envs",
+    "get_all_task_names",
+    "EnvState",
+    "LocoEnv",
+]

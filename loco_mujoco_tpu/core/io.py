@@ -381,6 +381,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         dof_parentid=dof_parentid,
         dof_ancestor_mask=ancestor_mask,
         body_invweight0=np.asarray(m.body_invweight0),
+        dof_frictionloss0=np.asarray(m.dof_frictionloss),
+        stat_meaninertia=float(m.stat.meaninertia),
         dof_invweight0=np.asarray(m.dof_invweight0),
         tendon_invweight0=np.asarray(m.tendon_invweight0),
         tendon_range=np.asarray(m.tendon_range),
@@ -439,13 +441,10 @@ def load_model(xml_path: str, dtype=jnp.float32) -> Model:
 
 
 def ncon_max(model: Model) -> int:
-    """Total static contact slots across all candidate pairs."""
-    total = 0
-    for i in range(len(model.pair_geom1)):
-        t1 = int(model.geom_type[model.pair_geom1[i]])
-        t2 = int(model.geom_type[model.pair_geom2[i]])
-        total += CONTACT_SLOTS[(t1, t2)]
-    return total
+    """Total static contact slots (group-budgeted; see ops/collision.py)."""
+    from ..ops.collision import ncon_max as _n
+
+    return _n(model)
 
 
 def make_data(model: Model, dtype=None) -> Data:
@@ -470,8 +469,8 @@ def make_data(model: Model, dtype=None) -> Data:
         friction=jnp.tile(jnp.array([1, 1, 0.005, 1e-4, 1e-4], dtype=dtype), (nc, 1)),
         solref=jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (nc, 1)),
         solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype), (nc, 1)),
-        geom1=np.zeros(nc, dtype=np.int32),
-        geom2=np.zeros(nc, dtype=np.int32),
+        geom1=jnp.zeros(nc, dtype=jnp.int32),
+        geom2=jnp.zeros(nc, dtype=jnp.int32),
         dim=np.ones(nc, dtype=np.int32),
     )
 
@@ -517,5 +516,5 @@ def make_data(model: Model, dtype=None) -> Data:
         qfrc_smooth=z(nv),
         qacc_smooth=z(nv),
         qfrc_constraint=z(nv),
-        efc_force_contact=z(nc, 6),
+        efc_force_contact=z(nc, 10),  # up to 2*(condim-1) pyramidal rows
     )

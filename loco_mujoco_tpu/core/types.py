@@ -207,6 +207,11 @@ class Model:
     # precomputed inverse-weights from the host-side compiler (mjModel
     # *_invweight0), used for constraint regularization parity:
     body_invweight0: np.ndarray = static_field(default=None)  # (nbody, 2)
+    # host-time copy of dof_frictionloss, fixing the static set of friction
+    # rows (the traced leaf can still be randomized in magnitude):
+    dof_frictionloss0: np.ndarray = static_field(default=None)  # (nv,)
+    # mjModel.stat.meaninertia — the solver's convergence scale
+    stat_meaninertia: float = static_field(default=1.0)
     dof_invweight0: np.ndarray = static_field(default=None)  # (nv,)
     tendon_invweight0: np.ndarray = static_field(default=None)  # (ntendon,)
     # tendon limits/passive params
@@ -265,7 +270,11 @@ class Model:
 
 @pytree_dataclass
 class Contact:
-    """All candidate contact points, fixed shape (ncon_max,...)."""
+    """All candidate contact points, fixed shape (ncon_max,...).
+
+    geom ids are traced: the runtime midphase selects which candidate pairs
+    occupy each slot (ops/collision.py), so slot->geom binding is dynamic.
+    condim per slot stays static (groups are keyed by condim)."""
 
     dist: jax.Array  # (ncon,)
     pos: jax.Array  # (ncon, 3)
@@ -274,8 +283,8 @@ class Contact:
     friction: jax.Array  # (ncon, 5)
     solref: jax.Array  # (ncon, 2)
     solimp: jax.Array  # (ncon, 5)
-    geom1: np.ndarray = static_field(default=None)
-    geom2: np.ndarray = static_field(default=None)
+    geom1: jax.Array  # (ncon,) int
+    geom2: jax.Array  # (ncon,) int
     dim: np.ndarray = static_field(default=None)  # condim per slot
 
 

@@ -1,0 +1,188 @@
+"""Trajectory engine — dataset loading, resampling, and device-resident
+sampling (redesign of reference `loco_mujoco/utils/trajectory.py`).
+
+Host side (numpy/scipy, runs once at env build): load the .npz keyed by
+observation names (+ optional split_points / goal* keys), split into
+equal-length trajectories, cubically resample traj_dt -> control_dt through
+the env's map/remap hooks (trajectory.py:184-234), and pack everything into
+ONE flat (n_traj, T, sample_dim) array whose column layout matches the env's
+observation spec (plus trailing goal keys).
+
+Device side: the flat array lives on device; a reset sample is a single
+gather `flat[traj_no, step]` with the global x/y columns zeroed (the
+reference recentres x/y at reset — trajectory.py:268-269). Everything is
+jit/vmap friendly: thousands of envs sample resets in one fused gather.
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import interpolate
+
+
+class TrajectoryData:
+    def __init__(
+        self,
+        keys: Sequence[str],
+        key_dims: Sequence[int],
+        traj_path: str | None = None,
+        traj_files: dict | None = None,
+        traj_dt: float = 0.002,
+        control_dt: float = 0.01,
+        ignore_keys: Sequence[str] | None = None,
+        low: np.ndarray | None = None,
+        high: np.ndarray | None = None,
+        joint_pos_idx: Sequence[int] | None = None,
+        interpolate_map: Callable | None = None,
+        interpolate_remap: Callable | None = None,
+        interpolate_map_params: dict | None = None,
+        interpolate_remap_params: dict | None = None,
+        clip_trajectory_to_joint_ranges: bool = False,
+        warn: bool = True,
+        dtype=jnp.float32,
+    ):
+        assert (traj_path is None) != (traj_files is None)
+        if traj_path is not None:
+            files = dict(np.load(traj_path, allow_pickle=True).items())
+        else:
+            files = dict(traj_files)
+
+        keys = list(keys)
+        key_dims = list(key_dims)
+
+        # joint-range check / clip (trajectory.py:275-301)
+        if (warn or clip_trajectory_to_joint_ranges) and low is not None:
+            j_idx = list(joint_pos_idx)[2:]
+            highs = dict(zip(keys[2:], high))
+            lows = dict(zip(keys[2:], low))
+            for i, (k, d) in enumerate(files.items()):
+                if i in j_idx and k in keys:
+                    if warn:
+                        msg = (
+                            "Clipping the trajectory into range!"
+                            if clip_trajectory_to_joint_ranges
+                            else ""
+                        )
+                        if np.max(d) > highs[k]:
+                            warnings.warn(
+                                f"Trajectory violates joint range in {k}. "
+                                f"Max {np.max(d)} > {highs[k]}. {msg}",
+                                RuntimeWarning,
+                            )
+                        elif np.min(d) < lows[k]:
+                            warnings.warn(
+                                f"Trajectory violates joint range in {k}. "
+                                f"Min {np.min(d)} < {lows[k]}. {msg}",
+                                RuntimeWarning,
+                            )
+                    if clip_trajectory_to_joint_ranges:
+                        files[k] = np.clip(files[k], lows[k], highs[k])
+
+        # goal keys are appended automatically (trajectory.py:64-66)
+        for k in files:
+            if k.startswith("goal") and k not in keys:
+                keys.append(k)
+                v = np.asarray(files[k])
+                key_dims.append(1 if v.ndim == 1 else int(np.prod(v.shape[1:])))
+        if ignore_keys:
+            for ik in ignore_keys:
+                i = keys.index(ik)
+                keys.pop(i)
+                key_dims.pop(i)
+
+        self.keys = keys
+        self.key_dims = key_dims
+
+        n_samples = len(np.asarray(files[keys[0]]))
+        if "split_points" in files:
+            split_points = np.asarray(files["split_points"]).astype(int)
+        else:
+            split_points = np.array([0, n_samples])
+
+        # per-key arrays split into (n_traj, len, dim)
+        per_key = []
+        for k, dim in zip(keys, key_dims):
+            v = np.asarray(files[k], dtype=np.float64)
+            v = v.reshape(n_samples, -1)
+            parts = np.split(v, split_points[1:-1])
+            lens = {len(p) for p in parts}
+            assert len(lens) == 1, "only equal-length trajectories supported"
+            per_key.append(np.stack(parts))  # (n_traj, len, dim)
+
+        self.traj_dt = traj_dt
+        self.control_dt = control_dt
+
+        if traj_dt != control_dt:
+            per_key = self._interpolate(
+                per_key,
+                interpolate_map,
+                interpolate_remap,
+                interpolate_map_params,
+                interpolate_remap_params,
+            )
+
+        self.n_traj = per_key[0].shape[0]
+        self.traj_len = per_key[0].shape[1]
+        flat = np.concatenate(per_key, axis=-1)  # (n_traj, T, sample_dim)
+        self.sample_dim = flat.shape[-1]
+        self.flat_np = flat
+        self.flat = jnp.asarray(flat, dtype=dtype)
+
+        offs = np.cumsum([0] + key_dims)
+        self.key_slices = {
+            k: slice(int(offs[i]), int(offs[i + 1])) for i, k in enumerate(keys)
+        }
+
+    # ---- host-side interpolation (reference trajectory.py:184-234) --------
+    def _interpolate(self, per_key, map_f, remap_f, map_p, remap_p):
+        n_traj = per_key[0].shape[0]
+        tlen = per_key[0].shape[1]
+        factor = self.traj_dt / self.control_dt
+        x = np.arange(tlen)
+        x_new = np.linspace(0, tlen - 1, round(tlen * factor), endpoint=True)
+
+        out = [[] for _ in per_key]
+        for t in range(n_traj):
+            # reference passes a list of per-key 1-D (or (T, dim)) arrays
+            traj = [
+                per_key[i][t, :, 0] if per_key[i].shape[-1] == 1
+                else per_key[i][t]
+                for i in range(len(per_key))
+            ]
+            if map_f is not None:
+                traj = map_f(traj, **(map_p or {}))
+            else:
+                traj = np.asarray(traj)
+            new = interpolate.interp1d(x, traj, kind="cubic", axis=1)(x_new)
+            if remap_f is not None:
+                new = remap_f(new, **(remap_p or {}))
+            for i in range(len(per_key)):
+                arr = np.asarray(new[i])
+                out[i].append(arr.reshape(arr.shape[0], -1))
+        return [np.stack(o) for o in out]
+
+    # ---- device-side sampling --------------------------------------------
+    def sample_reset(self, rng, xy_cols=(0, 1)):
+        """Random (traj, step) reset sample with x/y recentred to zero.
+        Returns (sample (sample_dim,), traj_no, step)."""
+        k1, k2 = jax.random.split(rng)
+        traj_no = jax.random.randint(k1, (), 0, self.n_traj)
+        step = jax.random.randint(k2, (), 0, self.traj_len)
+        sample = self.flat[traj_no, step]
+        for c in xy_cols:
+            sample = sample.at[c].set(0.0)
+        return sample, traj_no, step
+
+    def sample_at(self, traj_no, step, xy_cols=(0, 1)):
+        sample = self.flat[traj_no, step]
+        for c in xy_cols:
+            sample = sample.at[c].set(0.0)
+        return sample, traj_no, step
+
+    def get_from_sample(self, sample, key):
+        return sample[self.key_slices[key]]

@@ -1,0 +1,299 @@
+"""LocoEnv — the batched, functional environment layer.
+
+Redesign of the reference's LocoEnv (`loco_mujoco/environments/base.py`, 1k
+LoC of object-oriented hooks around mushroom-rl's step loop) as pure
+functions over an `EnvState` pytree: `reset: key -> EnvState` and
+`step: (EnvState, action) -> EnvState`, both jittable and vmappable over
+thousands of envs, shardable over a device mesh (SURVEY.md §7 design
+stance).
+
+Correspondence with the reference semantics:
+ * action normalization to [-1, 1]           base.py:122-126, 606-621
+ * N substeps of physics per control step    base.py:109-111
+ * per-substep hook (goal arrow, GRF stats)  base.py:623-631
+ * obs = spec vector minus global x/y,       base.py:567-604
+   + optional GRF running mean / 1000
+ * trajectory-based reset with recentred x/y base.py:205-241
+ * absorbing = fall predicate                base.py:243-255
+ * auto-reset: the batched replacement for exception-style episode ends —
+   when done, the state is re-initialized in-step via a masked select.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.struct import pytree_dataclass, static_field
+from ..core.types import Data, Model
+from ..core.io import make_data
+from ..ops import forward as fwd
+from ..ops import support
+from .observation import ObsIndex
+
+
+@pytree_dataclass
+class EnvState:
+    """Per-env dynamic state. Batched by vmap over the leading axis."""
+
+    data: Data
+    obs: jax.Array
+    reward: jax.Array  # ()
+    absorbing: jax.Array  # () bool
+    done: jax.Array  # () bool — absorbing or horizon reached
+    rng: jax.Array  # PRNG key
+    step_no: jax.Array  # () int32 — steps since episode start
+    traj_no: jax.Array  # () int32 — trajectory used at init
+    subtraj_step: jax.Array  # () int32
+    goal: jax.Array  # (2,) [angle, speed] (zeros when unused)
+    grf_window: jax.Array  # (window, grf_dim) ground-reaction-force history
+    env_id: jax.Array  # () int32 — model variant id (multi-model envs)
+
+
+class LocoEnv:
+    """Host-built environment: compiles model + specs, exposes pure fns.
+
+    Subclasses implement `_obs_spec`, `_action_spec`, `_has_fallen`, and
+    optionally goal / obs-modification hooks. Instances are cheap frozen
+    configuration; all per-step work happens inside `step` (traced).
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        obs_index: ObsIndex,
+        *,
+        gamma: float = 0.99,
+        horizon: int = 1000,
+        n_substeps: int = 10,
+        reward_fn: Callable = None,
+        traj_data=None,
+        random_start: bool = True,
+        init_step_no: Optional[int] = None,
+        use_absorbing_states: bool = True,
+        use_foot_forces: bool = False,
+        grf_size: int = 6,
+        grf_window: int = 10,
+        has_fallen: Callable = None,
+        solver_iterations: int = 8,
+        ls_iterations: int = 8,
+        dtype=jnp.float32,
+    ):
+        # batched-envs solver budget: under vmap the Newton/line-search
+        # while_loops run until EVERY env in the batch converges, so the
+        # iteration caps bound the per-step cost directly. Warm-started
+        # Newton converges in a handful of iterations; 8/8 matches MJX's
+        # recommended practice for batched RL workloads (vs MuJoCo's
+        # single-env defaults of 100/50).
+        model = model.replace(
+            opt=model.opt.replace(
+                iterations=min(model.opt.iterations, solver_iterations),
+                ls_iterations=min(model.opt.ls_iterations, ls_iterations),
+            )
+        )
+        self.model = model
+        self.obs_index = obs_index
+        self.gamma = gamma
+        self.horizon = horizon
+        self.n_substeps = n_substeps
+        self.reward_fn = reward_fn or (lambda s, a, ns, i: jnp.zeros(()))
+        self.traj = traj_data
+        self.random_start = random_start
+        self.init_step_no = init_step_no
+        self.use_absorbing_states = use_absorbing_states
+        self.use_foot_forces = use_foot_forces
+        self.grf_size = grf_size
+        self.grf_window = grf_window
+        self._has_fallen = has_fallen or (lambda obs: jnp.asarray(False))
+        self.dtype = dtype
+
+        # action renormalization from ctrlrange (base.py:122-126)
+        ctrl = np.asarray(model.actuator_ctrlrange)
+        low, high = ctrl[:, 0], ctrl[:, 1]
+        self.norm_act_mean = jnp.asarray((high + low) / 2.0, dtype=dtype)
+        self.norm_act_delta = jnp.asarray((high - low) / 2.0, dtype=dtype)
+        self.action_dim = model.nu
+
+        # observation layout: spec minus global x/y (+ goal / GRF extensions)
+        self.obs_dim = self._obs_dim()
+
+    # ------------------------------------------------------------------
+    # layout
+    # ------------------------------------------------------------------
+    def _obs_dim(self) -> int:
+        d = self.obs_index.size - 2
+        d += self._extra_obs_dim()
+        if self.use_foot_forces:
+            d += self.grf_size
+        return d
+
+    def _extra_obs_dim(self) -> int:
+        return 0
+
+    # ------------------------------------------------------------------
+    # hooks (overridden by robots)
+    # ------------------------------------------------------------------
+    def _modify_observation(self, obs, state):
+        """Post-process the raw (x/y-dropped) spec observation; default
+        no-op. A1 swaps the goal-arrow rotmat for (cos, sin) features."""
+        return obs
+
+    def _substep_hook(self, data: Data, state: EnvState) -> Data:
+        """Called after every physics substep (goal-arrow pose etc.)."""
+        return data
+
+    def _reward_info(self, state: EnvState) -> dict:
+        return {
+            "goal_angle": state.goal[0],
+            "goal_vel": state.goal[1],
+            "env_id": state.env_id,
+        }
+
+    def _setup_sample(self, sample, rng):
+        """Reset-time sample post-processing (A1: random z rotation) and
+        goal extraction. Returns (sample, goal(2,))."""
+        return sample, jnp.zeros(2, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # observation assembly
+    # ------------------------------------------------------------------
+    def _build_obs(self, data: Data, state: EnvState) -> jax.Array:
+        raw = self.obs_index.build_obs(data).astype(self.dtype)
+        obs = raw[2:]
+        obs = self._modify_observation(obs, state)
+        if self.use_foot_forces:
+            grf_mean = jnp.mean(state.grf_window, axis=0) / 1000.0
+            obs = jnp.concatenate([obs, grf_mean.astype(self.dtype)])
+        return obs
+
+    def _grf(self, data: Data) -> jax.Array:
+        """Ground-reaction forces; robots override with their collision
+        groups. Default: zeros."""
+        return jnp.zeros(self.grf_size, dtype=self.dtype)
+
+    # ------------------------------------------------------------------
+    # reset / step
+    # ------------------------------------------------------------------
+    def _fresh_data(self) -> Data:
+        return make_data(self.model, dtype=self.dtype)
+
+    def _init_state(self, rng) -> EnvState:
+        """Build an episode-start state (the `setup` path, base.py:205-241)."""
+        rng, k_traj, k_setup = jax.random.split(rng, 3)
+        data = self._fresh_data()
+
+        goal = jnp.zeros(2, dtype=self.dtype)
+        traj_no = jnp.zeros((), dtype=jnp.int32)
+        subtraj_step = jnp.zeros((), dtype=jnp.int32)
+        if self.traj is not None:
+            if self.random_start:
+                sample, traj_no, subtraj_step = self.traj.sample_reset(k_traj)
+            elif self.init_step_no is not None:
+                tl = self.traj.traj_len
+                sub = int(self.init_step_no % tl)
+                tn = int(self.init_step_no / tl)
+                sample, traj_no, subtraj_step = self.traj.sample_at(
+                    jnp.asarray(tn), jnp.asarray(sub)
+                )
+            else:
+                k_t, _ = jax.random.split(k_traj)
+                tn = jax.random.randint(k_t, (), 0, self.traj.n_traj)
+                sample, traj_no, subtraj_step = self.traj.sample_at(
+                    tn, jnp.zeros((), jnp.int32)
+                )
+            sample, goal = self._setup_sample(sample, k_setup)
+            data = self.obs_index.sample_to_state(self.model, data, sample)
+
+        data = fwd.forward(self.model, data)
+
+        state = EnvState(
+            data=data,
+            obs=jnp.zeros(self.obs_dim, dtype=self.dtype),
+            reward=jnp.zeros((), dtype=self.dtype),
+            absorbing=jnp.asarray(False),
+            done=jnp.asarray(False),
+            rng=rng,
+            step_no=jnp.zeros((), jnp.int32),
+            traj_no=traj_no,
+            subtraj_step=subtraj_step,
+            goal=goal,
+            grf_window=jnp.zeros(
+                (self.grf_window, self.grf_size), dtype=self.dtype
+            ),
+            env_id=jnp.zeros((), jnp.int32),
+        )
+        obs = self._build_obs(data, state)
+        return state.replace(obs=obs)
+
+    def reset(self, rng) -> EnvState:
+        """Episode initialization. vmap over a batch of keys for many envs."""
+        return self._init_state(rng)
+
+    def step(self, state: EnvState, action) -> EnvState:
+        """One control step (n_substeps physics steps), auto-resetting."""
+        model = self.model
+
+        # unnormalize action (base.py:606-621)
+        a = action.astype(self.dtype) * self.norm_act_delta + self.norm_act_mean
+        data = state.data.replace(ctrl=a)
+
+        # substeps via lax.scan: one traced substep body instead of an
+        # n_substeps-times unrolled graph (10x smaller trace / compile)
+        def substep(carry, _):
+            d, win = carry
+            d = fwd.step(model, d)
+            d = self._substep_hook(d, state)
+            if self.use_foot_forces:
+                grf = self._grf(d)
+                win = jnp.concatenate([win[1:], grf[None]], axis=0)
+            return (d, win), None
+
+        (data, grf_window), _ = jax.lax.scan(
+            substep, (data, state.grf_window), None, length=self.n_substeps
+        )
+        st = state.replace(grf_window=grf_window)
+
+        obs = self._build_obs(data, st)
+        info = self._reward_info(st)
+        reward = self.reward_fn(state.obs, action, obs, info).astype(self.dtype)
+        absorbing = (
+            self._has_fallen(obs)
+            if self.use_absorbing_states
+            else jnp.asarray(False)
+        )
+        step_no = state.step_no + 1
+        done = absorbing | (step_no >= self.horizon)
+
+        stepped = st.replace(
+            data=data,
+            obs=obs,
+            reward=reward,
+            absorbing=absorbing,
+            done=done,
+            step_no=step_no,
+        )
+
+        # auto-reset: where done, swap in a fresh episode (keeps shapes
+        # static; reward/done of the finishing step are preserved)
+        rng, k = jax.random.split(state.rng)
+        fresh = self._init_state(k)
+        fresh = fresh.replace(
+            reward=reward, absorbing=absorbing, done=done, rng=rng
+        )
+        out = jax.tree_util.tree_map(
+            lambda f, s: jnp.where(done, f, s),
+            fresh,
+            stepped.replace(rng=rng),
+        )
+        return out
+
+    # convenience: vmapped entry points
+    def reset_batch(self, rng, n_envs: int):
+        keys = jax.random.split(rng, n_envs)
+        return jax.vmap(self.reset)(keys)
+
+    def step_batch(self, states, actions):
+        return jax.vmap(self.step)(states, actions)

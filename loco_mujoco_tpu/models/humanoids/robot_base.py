@@ -1,0 +1,208 @@
+"""Shared machinery for the rigid-robot humanoids (Atlas, Talos, Unitree
+H1/G1) — behavioral port of reference `humanoids/base_robot_humanoid.py` (C7)
+plus the per-robot XML-surgery pattern each subclass repeats (joint/motor/
+equality removal, arm reorientation, carried-weight boxes).
+
+Weight carrying (the reference's MultiMuJoCo use case, SURVEY.md §2 item 2):
+instead of K compiled models cycled per episode, the K weight variants share
+one model STRUCTURE and differ only in numeric leaves; a variant id sampled
+at reset gathers the right leaves. That keeps one compiled step for all
+variants — data, not control flow.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mujoco
+
+from ...core.io import put_model
+from ...datasets.trajectory import TrajectoryData
+from ...envs.base import LocoEnv
+from ...envs.observation import ObservationType, ObsIndex
+from ...ops import support
+from ...rewards import make_reward
+
+REF_ROOT = Path("/root/reference/loco_mujoco")
+
+
+def joint_obs_spec(joints):
+    spec = [(f"q_{j}", j, ObservationType.JOINT_POS) for j in joints]
+    spec += [(f"dq_{j}", j, ObservationType.JOINT_VEL) for j in joints]
+    return spec
+
+
+def apply_surgery(
+    xml_path,
+    joints_rm=(),
+    motors_rm=(),
+    eq_rm=(),
+    body_quats=(),
+    weight=None,
+):
+    """Generic MjSpec surgery: remove joints/motors/equalities, reorient
+    bodies, optionally attach a carried-weight box.
+
+    weight: None or (parent_body, mass, size, pos, rgba).
+    """
+    spec = mujoco.MjSpec.from_file(str(xml_path))
+    for name in joints_rm:
+        j = spec.joint(name)
+        if j is not None:
+            spec.delete(j)
+    for name in motors_rm:
+        a = spec.actuator(name)
+        if a is not None:
+            spec.delete(a)
+    eq_rm = set(eq_rm)
+    for e in list(spec.equalities):
+        if e.name in eq_rm:
+            spec.delete(e)
+    for bname, quat in body_quats:
+        b = spec.body(bname)
+        if b is not None:
+            b.quat = quat
+    if weight is not None:
+        parent, mass, size, pos, rgba = weight
+        wb = spec.body(parent).add_body(name="weight")
+        wb.add_geom(
+            name="weight_geom",
+            type=mujoco.mjtGeom.mjGEOM_BOX,
+            size=list(size),
+            pos=list(pos),
+            rgba=list(rgba),
+            mass=float(mass),
+        )
+    return spec.compile()
+
+
+def weight_color(ind, n):
+    """Box color interpolation (base_robot_humanoid.py:126-143)."""
+    red = np.array([1.0, 0.0, 0.0, 1.0])
+    blue = np.array([0.2, 0.0, 1.0, 1.0])
+    t = ind / max(n - 1, 1)
+    return blue + (red - blue) * t
+
+
+class RobotHumanoid(LocoEnv):
+    """Rigid-robot humanoid base: GRF from two-foot collision groups,
+    target-velocity reward, weight-mass observation extension."""
+
+    VALID_WEIGHTS = [0.1, 1.0, 5.0, 10.0]
+
+    def __init__(
+        self,
+        model,
+        obs_index,
+        joints,
+        foot_groups,  # dict name -> list of geom names
+        has_fallen_fn,
+        reward_type="target_velocity",
+        reward_params=None,
+        traj_params=None,
+        traj_opts=None,
+        hold_weight=False,
+        weight_mass=None,
+        grf_size=6,
+        dtype=jnp.float32,
+        **kwargs,
+    ):
+        keys = [f"q_{j}" for j in joints] + [f"dq_{j}" for j in joints]
+        self._key_idx = {k: i - 2 for i, k in enumerate(keys)}
+        self.joints = joints
+        self.hold_weight = hold_weight
+        self.weight_mass = weight_mass
+
+        x_vel_idx = self._key_idx["dq_pelvis_tx"]
+        reward_fn = make_reward(
+            reward_type, reward_params, dict(x_vel_idx=x_vel_idx)
+        )
+
+        traj_data = None
+        if traj_params is not None:
+            jr = np.asarray(model.jnt_range)
+            jmap = model.names["joint"]
+            low = np.array([jr[jmap[j], 0] for j in joints[2:]])
+            high = np.array([jr[jmap[j], 1] for j in joints[2:]])
+            traj_data = TrajectoryData(
+                keys,
+                [1] * len(keys),
+                low=low,
+                high=high,
+                joint_pos_idx=list(range(len(joints))),
+                dtype=dtype,
+                **{**(traj_opts or {}), **traj_params},
+            )
+
+        super().__init__(
+            model,
+            obs_index,
+            reward_fn=reward_fn,
+            traj_data=traj_data,
+            grf_size=grf_size,
+            has_fallen=has_fallen_fn(self._key_idx),
+            dtype=dtype,
+            **kwargs,
+        )
+
+        gmap = model.names["geom"]
+        self._floor_ids = np.asarray([gmap["floor"]])
+        self._grf_groups = [
+            np.asarray([gmap[g] for g in geoms]) for geoms in foot_groups
+        ]
+        self._elliptic_cone = False
+
+    def _extra_obs_dim(self):
+        return 1 if self.hold_weight else 0
+
+    def _modify_observation(self, obs, state):
+        if self.hold_weight:
+            # carried-weight mass appended (base_robot_humanoid.py:106-124)
+            w = jnp.asarray(self.weight_mass, dtype=self.dtype)
+            obs = jnp.concatenate([obs, w[None]])
+        return obs
+
+    def _grf(self, data):
+        parts = [
+            support.contact_force_groups(
+                self.model, data, self._floor_ids, g, self._elliptic_cone
+            )
+            for g in self._grf_groups
+        ]
+        return jnp.concatenate(parts).astype(self.dtype)
+
+    @classmethod
+    def generate_robot(
+        cls, path, task="walk", dataset_type="real", debug=False,
+        clip_trajectory_to_joint_ranges=False, **kwargs,
+    ):
+        """BaseRobotHumanoid.generate flow (base_robot_humanoid.py:145-260)."""
+        if "reward_type" not in kwargs:
+            kwargs["reward_type"] = "target_velocity"
+        if "reward_params" not in kwargs:
+            kwargs["reward_params"] = dict(
+                target_velocity=2.5 if task == "run" else 1.25
+            )
+        if task == "carry":
+            kwargs["hold_weight"] = True
+        if dataset_type == "perfect":
+            raise NotImplementedError(
+                "perfect datasets land with the dataset toolchain milestone"
+            )
+        full = REF_ROOT / path
+        if debug or not full.exists():
+            parts = path.split("/")
+            parts.insert(3, "mini_datasets")
+            full = REF_ROOT / "/".join(parts)
+        traj_params = dict(
+            traj_path=str(full),
+            traj_dt=1.0 / 500,
+            control_dt=0.01,
+            clip_trajectory_to_joint_ranges=clip_trajectory_to_joint_ranges,
+            warn=False,
+        )
+        return cls(traj_params=traj_params, **kwargs)

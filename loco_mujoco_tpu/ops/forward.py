@@ -79,7 +79,13 @@ _DOF_BODY_MASK_CACHE: dict = {}
 
 
 def _dof_body_mask(model: Model) -> np.ndarray:
-    key = (model.nbody, model.nv, model.body_parentid.tobytes())
+    key = (
+        model.nbody,
+        model.nv,
+        model.body_parentid.tobytes(),
+        model.body_dofadr.tobytes(),
+        model.body_dofnum.tobytes(),
+    )
     hit = _DOF_BODY_MASK_CACHE.get(key)
     if hit is not None:
         return hit

@@ -1,0 +1,178 @@
+"""Narrowphase parity vs CPU MuJoCo on randomized two-geom scenes and on
+full robot models near ground contact."""
+
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+from loco_mujoco_tpu.core.io import load_mj_model, make_data, put_model
+from loco_mujoco_tpu.ops import forward as fwd
+from loco_mujoco_tpu.ops import kinematics as kin
+from loco_mujoco_tpu.ops.collision import collision
+import jax
+
+_jit_kin = jax.jit(kin.kinematics)
+_jit_col = jax.jit(collision)
+
+
+def _scene(g1, g2, pos2, euler2, size1, size2):
+    return f"""
+    <mujoco>
+      <worldbody>
+        <geom type="{g1}" size="{size1}" pos="0 0 0"/>
+        <body pos="{pos2[0]} {pos2[1]} {pos2[2]}" euler="{euler2[0]} {euler2[1]} {euler2[2]}">
+          <joint type="slide" axis="0 0 1"/>
+          <geom type="{g2}" size="{size2}"/>
+        </body>
+      </worldbody>
+    </mujoco>"""
+
+
+CASES = [
+    ("plane", "sphere", "5 5 .1", "0.1"),
+    ("plane", "capsule", "5 5 .1", "0.08 0.25"),
+    ("plane", "box", "5 5 .1", "0.1 0.15 0.08"),
+    ("plane", "cylinder", "5 5 .1", "0.1 0.2"),
+    ("sphere", "sphere", "0.15", "0.1"),
+    ("sphere", "capsule", "0.12", "0.08 0.25"),
+    ("sphere", "box", "0.12", "0.1 0.15 0.08"),
+    ("capsule", "capsule", "0.07 0.2", "0.08 0.25"),
+]
+
+
+def _collect(mj_model, mj_data, model, data):
+    data = _jit_kin(model, data)
+    data = _jit_col(model, data)
+    con = data.contact
+    act = np.asarray(con.dist) < np.asarray(con.includemargin)
+    ours = []
+    for i in np.nonzero(act)[0]:
+        ours.append(
+            (
+                int(con.geom1[i]),
+                int(con.geom2[i]),
+                float(np.asarray(con.dist)[i]),
+                np.asarray(con.pos)[i],
+                np.asarray(con.frame)[i],
+            )
+        )
+    mjc = []
+    for i in range(mj_data.ncon):
+        c = mj_data.contact[i]
+        mjc.append(
+            (
+                int(c.geom1),
+                int(c.geom2),
+                float(c.dist),
+                np.array(c.pos),
+                np.array(c.frame).reshape(3, 3),
+            )
+        )
+    return ours, mjc
+
+
+def _match_contacts(mj_model, mj_data, model, data, atol=1e-8):
+    """Exact contact-set parity (sorted by (geom1, geom2, pos))."""
+    ours, mjc = _collect(mj_model, mj_data, model, data)
+    assert len(ours) == len(mjc), (
+        f"count: ours {len(ours)} mj {len(mjc)} "
+        f"(ours {[o[:3] for o in ours]}, mj {[m[:3] for m in mjc]})"
+    )
+    key = lambda t: (t[0], t[1], round(t[3][0], 6), round(t[3][1], 6), round(t[3][2], 6))
+    ours.sort(key=key)
+    mjc.sort(key=key)
+    for o, m in zip(ours, mjc):
+        assert o[0] == m[0] and o[1] == m[1], f"geoms {o[:2]} vs {m[:2]}"
+        np.testing.assert_allclose(o[2], m[2], atol=atol, err_msg="dist")
+        np.testing.assert_allclose(o[3], m[3], atol=atol, err_msg="pos")
+        np.testing.assert_allclose(o[4], m[4], atol=1e-6, err_msg="frame")
+
+
+def _match_mesh_contacts(mj_model, mj_data, model, data, atol=1e-7):
+    """Plane-mesh manifolds: MuJoCo's legacy vertex selection beyond the
+    support vertex is an implementation detail we intentionally do not
+    replicate (see ops/collision.py plane_convex). Assert instead: the
+    deepest contact per pair matches exactly, and pair coverage agrees."""
+    ours, mjc = _collect(mj_model, mj_data, model, data)
+    mesh = set(np.nonzero(np.asarray(mj_model.geom_type) == 7)[0])
+
+    def by_pair(lst):
+        out = {}
+        for t in lst:
+            if t[0] in mesh or t[1] in mesh:
+                if t[0] != 0 and t[1] != 0:
+                    continue  # mesh-mesh: known gap
+                out.setdefault((t[0], t[1]), []).append(t)
+        return out
+
+    o_pairs, m_pairs = by_pair(ours), by_pair(mjc)
+    assert set(o_pairs) == set(m_pairs), (
+        f"plane-mesh pair coverage: ours {sorted(o_pairs)} mj {sorted(m_pairs)}"
+    )
+    for k in m_pairs:
+        od = min(o_pairs[k], key=lambda t: t[2])
+        md = min(m_pairs[k], key=lambda t: t[2])
+        np.testing.assert_allclose(od[2], md[2], atol=atol, err_msg=f"dist {k}")
+        np.testing.assert_allclose(od[3], md[3], atol=atol, err_msg=f"pos {k}")
+    # non-mesh contacts must match exactly
+    o_rest = [t for t in ours if t[0] not in mesh and t[1] not in mesh]
+    m_rest = [t for t in mjc if t[0] not in mesh and t[1] not in mesh]
+    key = lambda t: (t[0], t[1], round(t[3][0], 6), round(t[3][1], 6))
+    o_rest.sort(key=key)
+    m_rest.sort(key=key)
+    assert len(o_rest) == len(m_rest)
+    for o, m in zip(o_rest, m_rest):
+        np.testing.assert_allclose(o[2], m[2], atol=atol)
+        np.testing.assert_allclose(o[3], m[3], atol=atol)
+
+
+@pytest.mark.parametrize("g1,g2,s1,s2", CASES)
+def test_pair_narrowphase(g1, g2, s1, s2):
+    rng = np.random.default_rng(sum(ord(c) for c in g1 + "|" + g2))
+    hits = 0
+    for trial in range(40):
+        if g1 == "plane":
+            pos2 = rng.uniform([-0.3, -0.3, 0.0], [0.3, 0.3, 0.35])
+        else:
+            pos2 = rng.uniform(-0.28, 0.28, 3)
+        euler2 = rng.uniform(-180, 180, 3)
+        xml = _scene(g1, g2, pos2, euler2, s1, s2)
+        mj_model = mujoco.MjModel.from_xml_string(xml)
+        mj_data = mujoco.MjData(mj_model)
+        mujoco.mj_forward(mj_model, mj_data)
+
+        model = put_model(mj_model, dtype=jnp.float64)
+        data = make_data(model)
+        if mj_data.ncon:
+            hits += 1
+        _match_contacts(mj_model, mj_data, model, data)
+    assert hits >= 3, f"too few contact configurations sampled ({hits})"
+
+
+def test_humanoid_feet_on_plane(ref_data_dir):
+    mj_model = load_mj_model(f"{ref_data_dir}/humanoid/humanoid_torque.xml")
+    model = put_model(mj_model, dtype=jnp.float64)
+    mj_data = mujoco.MjData(mj_model)
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        qpos = mj_model.qpos0 + rng.normal(scale=0.05, size=mj_model.nq)
+        qpos[2] -= 0.012
+        mj_data.qpos[:] = qpos
+        mujoco.mj_forward(mj_model, mj_data)
+        data = make_data(model).replace(qpos=jnp.asarray(qpos))
+        _match_mesh_contacts(mj_model, mj_data, model, data, atol=1e-7)
+
+
+def test_a1_feet_on_plane(ref_data_dir):
+    mj_model = load_mj_model(f"{ref_data_dir}/quadrupeds/unitree_a1_torque.xml")
+    model = put_model(mj_model, dtype=jnp.float64)
+    mj_data = mujoco.MjData(mj_model)
+    rng = np.random.default_rng(12)
+    for trial in range(5):
+        qpos = mj_model.qpos0 + rng.normal(scale=0.03, size=mj_model.nq)
+        qpos[2] -= 0.02
+        mj_data.qpos[:] = qpos
+        mujoco.mj_forward(mj_model, mj_data)
+        data = make_data(model).replace(qpos=jnp.asarray(qpos))
+        _match_contacts(mj_model, mj_data, model, data, atol=1e-7)

@@ -8,6 +8,10 @@ import pytest
 
 from loco_mujoco_tpu.core.io import load_mj_model, make_data, put_model
 from loco_mujoco_tpu.ops import forward as fwd
+import jax
+
+_jit_forward = jax.jit(fwd.forward)
+_jit_step = jax.jit(fwd.step)
 
 XMLS = [
     "quadrupeds/unitree_a1_torque.xml",
@@ -64,7 +68,7 @@ def test_smooth_forward_matches_mujoco(pair):
             ctrl=jnp.asarray(ctrl),
             act=jnp.asarray(act),
         )
-        data = fwd.forward(model, data)
+        data = _jit_forward(model, data)
 
         np.testing.assert_allclose(data.qM, _dense_m(mj_model, mj_data), atol=1e-9)
         if mj_model.ntendon:
@@ -125,7 +129,7 @@ def test_smooth_step_matches_mujoco(pair):
 
     for i in range(10):
         mujoco.mj_step(mj_model, mj_data)
-        data = fwd.step(model, data)
+        data = _jit_step(model, data)
         np.testing.assert_allclose(
             data.qpos, mj_data.qpos, atol=1e-8,
             err_msg=f"qpos diverged at step {i}",
