@@ -12,6 +12,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/lmt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     import loco_mujoco_tpu as lmt
@@ -19,7 +22,7 @@ def main():
     n_envs = 4096
     n_steps = 200
 
-    env = lmt.make("UnitreeA1.simple.real", debug=True)
+    env = lmt.make("HumanoidTorque.run.real", debug=True)
     reset_fn = jax.jit(jax.vmap(env.reset))
     step_fn = jax.jit(jax.vmap(env.step))
 

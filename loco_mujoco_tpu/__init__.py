@@ -14,6 +14,9 @@ from .envs import EnvState, LocoEnv
 from .models.quadrupeds import unitree_a1 as _a1  # noqa: F401
 from .models.humanoids import humanoid as _humanoid  # noqa: F401
 from .models.humanoids import unitree_h1 as _h1  # noqa: F401
+from .models.humanoids import unitree_g1 as _g1  # noqa: F401
+from .models.humanoids import talos as _talos  # noqa: F401
+from .models.humanoids import atlas as _atlas  # noqa: F401
 from .envs import gymnasium_env as _gym  # noqa: F401
 
 __version__ = "0.1.0"

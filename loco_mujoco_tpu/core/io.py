@@ -362,6 +362,9 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         eq_solimp=jarr(m.eq_solimp),
         mesh_vert=jarr(mesh_vert),
         mesh_vertmask=jnp.asarray(mesh_vertmask),
+        body_invweight0=jarr(m.body_invweight0),
+        dof_invweight0=jarr(m.dof_invweight0),
+        tendon_invweight0=jarr(m.tendon_invweight0),
         pair_friction=jarr(pair_friction),
         pair_solref=jarr(pair_solref),
         pair_solimp=jarr(pair_solimp),
@@ -380,11 +383,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         body_parentid=np.asarray(m.body_parentid),
         dof_parentid=dof_parentid,
         dof_ancestor_mask=ancestor_mask,
-        body_invweight0=np.asarray(m.body_invweight0),
         dof_frictionloss0=np.asarray(m.dof_frictionloss),
         stat_meaninertia=float(m.stat.meaninertia),
-        dof_invweight0=np.asarray(m.dof_invweight0),
-        tendon_invweight0=np.asarray(m.tendon_invweight0),
         tendon_range=np.asarray(m.tendon_range),
         tendon_limited=np.asarray(m.tendon_limited),
         tendon_stiffness=np.asarray(m.tendon_stiffness),

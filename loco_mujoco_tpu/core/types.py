@@ -180,6 +180,12 @@ class Model:
     # plus validity mask (nmeshgeom, maxvert)
     mesh_vert: jax.Array
     mesh_vertmask: jax.Array
+    # precomputed inverse-weights from the host-side compiler (mjModel
+    # *_invweight0) — numeric leaves so model VARIANTS (weight carrying,
+    # 4-ages scalings, domain randomization) can batch them:
+    body_invweight0: jax.Array  # (nbody, 2)
+    dof_invweight0: jax.Array  # (nv,)
+    tendon_invweight0: jax.Array  # (ntendon,)
     # precomputed candidate contact pair parameters (see collision.py):
     pair_friction: jax.Array  # (npair, 5)
     pair_solref: jax.Array  # (npair, 2)
@@ -204,16 +210,11 @@ class Model:
     # sparsify the dense CRB mass matrix without a tree traversal at runtime.
     dof_parentid: np.ndarray = static_field(default=None)
     dof_ancestor_mask: np.ndarray = static_field(default=None)
-    # precomputed inverse-weights from the host-side compiler (mjModel
-    # *_invweight0), used for constraint regularization parity:
-    body_invweight0: np.ndarray = static_field(default=None)  # (nbody, 2)
     # host-time copy of dof_frictionloss, fixing the static set of friction
     # rows (the traced leaf can still be randomized in magnitude):
     dof_frictionloss0: np.ndarray = static_field(default=None)  # (nv,)
     # mjModel.stat.meaninertia — the solver's convergence scale
     stat_meaninertia: float = static_field(default=1.0)
-    dof_invweight0: np.ndarray = static_field(default=None)  # (nv,)
-    tendon_invweight0: np.ndarray = static_field(default=None)  # (ntendon,)
     # tendon limits/passive params
     tendon_range: np.ndarray = static_field(default=None)  # (ntendon, 2)
     tendon_limited: np.ndarray = static_field(default=None)  # (ntendon,)

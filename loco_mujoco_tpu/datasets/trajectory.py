@@ -186,3 +186,41 @@ class TrajectoryData:
 
     def get_from_sample(self, sample, key):
         return sample[self.key_slices[key]]
+
+    # ---- imitation dataset (reference trajectory.py:104-151) --------------
+    def create_dataset(self, ignore_keys=None, state_callback=None,
+                       state_callback_params=None, traj_info=None):
+        """states/next_states/absorbing/last arrays for IL algorithms."""
+        keep = np.ones(self.sample_dim, dtype=bool)
+        if ignore_keys:
+            for k in ignore_keys:
+                keep[self.key_slices[k]] = False
+        states_per_traj = self.flat_np[:, :, keep]  # (n_traj, T, d)
+
+        if state_callback is not None:
+            out = []
+            for tr in states_per_traj.reshape(-1, states_per_traj.shape[-1]):
+                out.append(state_callback(tr, **(state_callback_params or {})))
+            states_per_traj = np.asarray(out).reshape(
+                self.n_traj, self.traj_len, -1
+            )
+
+        new_states = np.concatenate(states_per_traj[:, :-1])
+        new_next = np.concatenate(states_per_traj[:, 1:])
+        absorbing = np.zeros(len(new_states))
+        last = np.concatenate(
+            [
+                np.concatenate([np.zeros(self.traj_len - 2), [1.0]])
+                for _ in range(self.n_traj)
+            ]
+        )
+        out = dict(
+            states=new_states, next_states=new_next, absorbing=absorbing,
+            last=last,
+        )
+        if traj_info is not None:
+            info = np.array(
+                [[l] * self.traj_len for l in traj_info]
+            ).reshape(-1)
+            out["info"] = info
+        return out

@@ -80,8 +80,13 @@ class LocoEnv:
         has_fallen: Callable = None,
         solver_iterations: int = 8,
         ls_iterations: int = 8,
+        auto_reset: bool = True,
+        model_variants=None,
+        random_env_reset: bool = True,
         dtype=jnp.float32,
     ):
+        self.auto_reset = auto_reset
+        self.random_env_reset = random_env_reset
         # batched-envs solver budget: under vmap the Newton/line-search
         # while_loops run until EVERY env in the batch converges, so the
         # iteration caps bound the per-step cost directly. Warm-started
@@ -95,6 +100,31 @@ class LocoEnv:
             )
         )
         self.model = model
+
+        # model VARIANTS (weight-carry POMDP, 4-ages scalings): K models with
+        # identical structure whose numeric leaves are stacked; an env_id
+        # sampled at reset gathers one variant's leaves — the TPU-native
+        # replacement for the reference's MultiMuJoCo model cycling
+        # (SURVEY.md section 2, parallelism inventory item 2).
+        if model_variants:
+            base = model
+            norm = []
+            for v in model_variants:
+                v = v.replace(
+                    opt=v.opt.replace(
+                        iterations=base.opt.iterations,
+                        ls_iterations=base.opt.ls_iterations,
+                    ),
+                    stat_meaninertia=base.stat_meaninertia,
+                )
+                norm.append(v)
+            self.variants = jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls), *norm
+            )
+            self.n_variants = len(norm)
+        else:
+            self.variants = None
+            self.n_variants = 1
         self.obs_index = obs_index
         self.gamma = gamma
         self.horizon = horizon
@@ -177,13 +207,24 @@ class LocoEnv:
     # ------------------------------------------------------------------
     # reset / step
     # ------------------------------------------------------------------
-    def _fresh_data(self) -> Data:
-        return make_data(self.model, dtype=self.dtype)
+    def _fresh_data(self, model=None) -> Data:
+        return make_data(model if model is not None else self.model,
+                         dtype=self.dtype)
+
+    def _model_at(self, env_id):
+        if self.variants is None:
+            return self.model
+        return jax.tree_util.tree_map(lambda l: l[env_id], self.variants)
 
     def _init_state(self, rng) -> EnvState:
         """Build an episode-start state (the `setup` path, base.py:205-241)."""
-        rng, k_traj, k_setup = jax.random.split(rng, 3)
-        data = self._fresh_data()
+        rng, k_traj, k_setup, k_env = jax.random.split(rng, 4)
+        if self.variants is not None and self.random_env_reset:
+            env_id = jax.random.randint(k_env, (), 0, self.n_variants)
+        else:
+            env_id = jnp.zeros((), jnp.int32)
+        model = self._model_at(env_id)
+        data = self._fresh_data(model)
 
         goal = jnp.zeros(2, dtype=self.dtype)
         traj_no = jnp.zeros((), dtype=jnp.int32)
@@ -207,7 +248,7 @@ class LocoEnv:
             sample, goal = self._setup_sample(sample, k_setup)
             data = self.obs_index.sample_to_state(self.model, data, sample)
 
-        data = fwd.forward(self.model, data)
+        data = fwd.forward(model, data)
 
         state = EnvState(
             data=data,
@@ -223,7 +264,7 @@ class LocoEnv:
             grf_window=jnp.zeros(
                 (self.grf_window, self.grf_size), dtype=self.dtype
             ),
-            env_id=jnp.zeros((), jnp.int32),
+            env_id=env_id,
         )
         obs = self._build_obs(data, state)
         return state.replace(obs=obs)
@@ -234,7 +275,7 @@ class LocoEnv:
 
     def step(self, state: EnvState, action) -> EnvState:
         """One control step (n_substeps physics steps), auto-resetting."""
-        model = self.model
+        model = self._model_at(state.env_id)
 
         # unnormalize action (base.py:606-621)
         a = action.astype(self.dtype) * self.norm_act_delta + self.norm_act_mean
@@ -276,6 +317,9 @@ class LocoEnv:
             step_no=step_no,
         )
 
+        if not self.auto_reset:
+            return stepped
+
         # auto-reset: where done, swap in a fresh episode (keeps shapes
         # static; reward/done of the finishing step are preserved)
         rng, k = jax.random.split(state.rng)
@@ -297,3 +341,100 @@ class LocoEnv:
 
     def step_batch(self, states, actions):
         return jax.vmap(self.step)(states, actions)
+
+    # ------------------------------------------------------------------
+    # dataset / replay API (reference base.py:257-312, 314-476)
+    # ------------------------------------------------------------------
+    def get_kinematic_obs_mask(self):
+        """Indices of the kinematic part of the observation (spec entries
+        minus global x/y — base.py:257-263)."""
+        return np.arange(self.obs_index.size - 2)
+
+    def get_obs_idx(self, key):
+        """Observation indices for a spec key, shifted by the dropped x/y
+        (base.py:265-275)."""
+        return [i - 2 for i in self.obs_index.obs_idx_map[key]]
+
+    def _dataset_ignore_keys(self):
+        return []
+
+    def create_dataset(self, ignore_keys=None):
+        """Imitation dataset from the loaded trajectories; every state is
+        validated against the fall predicate (base.py:278-312)."""
+        if self.traj is None:
+            raise ValueError(
+                "No trajectory was passed to the environment. "
+                "To create a dataset pass a trajectory first."
+            )
+        if ignore_keys is None:
+            ignore_keys = self._dataset_ignore_keys()
+        dataset = self.traj.create_dataset(ignore_keys=ignore_keys)
+        fallen = np.asarray(
+            jax.vmap(self._has_fallen)(jnp.asarray(dataset["states"]))
+        )
+        if fallen.any():
+            raise ValueError(
+                "Some of the states in the created dataset are terminal "
+                f"states. This should not happen. ({int(fallen.sum())} of "
+                f"{len(fallen)} states violate the fall predicate.)"
+            )
+        return dataset
+
+    def play_trajectory(self, n_episodes=1, n_steps_per_episode=None,
+                       from_velocity=False, callback=None, rng=None):
+        """Kinematic replay (base.py:314-476): inject each trajectory sample
+        into the state, run the position stage, and emit the observation
+        stream. `from_velocity=True` integrates qpos from the dataset's
+        velocities instead of using its positions (base.py:388-476).
+        Returns the (n_steps, obs_dim) observation array."""
+        assert self.traj is not None
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        steps = n_steps_per_episode or self.traj.traj_len
+
+        @jax.jit
+        def build_obs(sample, prev_qpos):
+            data = self._fresh_data()
+            data = self.obs_index.sample_to_state(self.model, data, sample)
+            if from_velocity:
+                dt = self.model.opt.timestep * self.n_substeps
+                qpos = prev_qpos + dt * data.qvel
+                data = data.replace(qpos=qpos)
+            data = fwd.fwd_position(self.model, data)
+            st = self._blank_state(data)
+            return self._build_obs(data, st), data.qpos
+
+        all_obs = []
+        for ep in range(n_episodes):
+            rng, k = jax.random.split(rng)
+            tn = jax.random.randint(k, (), 0, self.traj.n_traj)
+            prev_qpos = None
+            for t in range(steps):
+                sample, _, _ = self.traj.sample_at(tn, jnp.asarray(t % self.traj.traj_len))
+                if prev_qpos is None:
+                    d0 = self.obs_index.sample_to_state(
+                        self.model, self._fresh_data(), sample
+                    )
+                    prev_qpos = d0.qpos
+                obs, prev_qpos = build_obs(sample, prev_qpos)
+                all_obs.append(np.asarray(obs))
+                if callback is not None:
+                    callback(np.asarray(obs))
+        return np.asarray(all_obs)
+
+    def _blank_state(self, data):
+        return EnvState(
+            data=data,
+            obs=jnp.zeros(self.obs_dim, dtype=self.dtype),
+            reward=jnp.zeros((), dtype=self.dtype),
+            absorbing=jnp.asarray(False),
+            done=jnp.asarray(False),
+            rng=jax.random.PRNGKey(0),
+            step_no=jnp.zeros((), jnp.int32),
+            traj_no=jnp.zeros((), jnp.int32),
+            subtraj_step=jnp.zeros((), jnp.int32),
+            goal=jnp.zeros(2, dtype=self.dtype),
+            grf_window=jnp.zeros(
+                (self.grf_window, self.grf_size), dtype=self.dtype
+            ),
+            env_id=jnp.zeros((), jnp.int32),
+        )

@@ -242,6 +242,10 @@ class BaseHumanoid(LocoEnv):
         ]
         return jnp.concatenate(parts).astype(self.dtype)
 
+    def _dataset_ignore_keys(self):
+        # base_humanoid.py:66-85 — global x/y dropped from IL datasets
+        return ["q_pelvis_tx", "q_pelvis_tz"]
+
     @classmethod
     def _generate(cls, path, task="walk", dataset_type="real", debug=False, **kwargs):
         if "reward_type" not in kwargs:

@@ -107,6 +107,7 @@ class RobotHumanoid(LocoEnv):
         traj_opts=None,
         hold_weight=False,
         weight_mass=None,
+        weight_masses=None,
         grf_size=6,
         dtype=jnp.float32,
         **kwargs,
@@ -116,6 +117,12 @@ class RobotHumanoid(LocoEnv):
         self.joints = joints
         self.hold_weight = hold_weight
         self.weight_mass = weight_mass
+        if weight_masses is not None:
+            self.weight_masses = jnp.asarray(weight_masses, dtype=dtype)
+        elif weight_mass is not None:
+            self.weight_masses = jnp.asarray([weight_mass], dtype=dtype)
+        else:
+            self.weight_masses = jnp.zeros(1, dtype=dtype)
 
         x_vel_idx = self._key_idx["dq_pelvis_tx"]
         reward_fn = make_reward(
@@ -161,8 +168,9 @@ class RobotHumanoid(LocoEnv):
 
     def _modify_observation(self, obs, state):
         if self.hold_weight:
-            # carried-weight mass appended (base_robot_humanoid.py:106-124)
-            w = jnp.asarray(self.weight_mass, dtype=self.dtype)
+            # carried-weight mass appended (base_robot_humanoid.py:106-124);
+            # multi-variant envs read the mass of the active variant
+            w = self.weight_masses[state.env_id].astype(self.dtype)
             obs = jnp.concatenate([obs, w[None]])
         return obs
 
@@ -174,6 +182,10 @@ class RobotHumanoid(LocoEnv):
             for g in self._grf_groups
         ]
         return jnp.concatenate(parts).astype(self.dtype)
+
+    def _dataset_ignore_keys(self):
+        # base_robot_humanoid.py:18-37 — global x/y dropped from IL datasets
+        return ["q_pelvis_tx", "q_pelvis_tz"]
 
     @classmethod
     def generate_robot(

@@ -85,23 +85,42 @@ class UnitreeH1(RobotHumanoid):
             joints_rm += BACK
             motors_rm += ["back_bkz_actuator"]
 
-        # single-weight variant for now; the default 4-variant POMDP batch
-        # lands with the multi-model milestone (weight as batched leaves)
-        weight = None
+        # carried weight: a fixed mass gives one model; the default gives
+        # the reference's 4-mass POMDP set as stacked model variants
+        masses = None
         if hold_weight:
-            mass = weight_mass if weight_mass is not None else 10.0
-            color = weight_color(3, 4) if weight_mass is None else [1, 0, 0, 1]
-            weight = ("torso_link", mass, [0.1, 0.18, 0.1], [0.35, 0, 0.1], color)
-            self._actual_weight_mass = mass
+            masses = (
+                [weight_mass] if weight_mass is not None
+                else list(RobotHumanoid.VALID_WEIGHTS)
+            )
 
-        mj_model = apply_surgery(
-            xml,
-            joints_rm=joints_rm,
-            motors_rm=motors_rm,
-            body_quats=REORIENT if (disable_arms and not hold_weight) else (),
-            weight=weight,
-        )
-        model = put_model(mj_model, dtype=dtype)
+        def build(weight):
+            return put_model(
+                apply_surgery(
+                    xml,
+                    joints_rm=joints_rm,
+                    motors_rm=motors_rm,
+                    body_quats=REORIENT
+                    if (disable_arms and not hold_weight)
+                    else (),
+                    weight=weight,
+                ),
+                dtype=dtype,
+            )
+
+        if masses is None:
+            model = build(None)
+            variants = None
+        else:
+            ms = [
+                build(
+                    ("torso_link", m, [0.1, 0.18, 0.1], [0.35, 0, 0.1],
+                     weight_color(i, len(masses)))
+                )
+                for i, m in enumerate(masses)
+            ]
+            model, variants = ms[0], (ms if len(ms) > 1 else None)
+
         joints = [j for j in ALL_JOINTS if j not in joints_rm]
         obs_index = ObsIndex(model, joint_obs_spec(joints))
 
@@ -112,7 +131,9 @@ class UnitreeH1(RobotHumanoid):
             foot_groups=[["right_foot"], ["left_foot"]],
             has_fallen_fn=_has_fallen_fn,
             hold_weight=hold_weight,
-            weight_mass=(weight[1] if weight else None),
+            weight_mass=(masses[0] if masses else None),
+            weight_masses=masses,
+            model_variants=variants,
             grf_size=6,
             dtype=dtype,
             **kwargs,

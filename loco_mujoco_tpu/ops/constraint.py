@@ -129,10 +129,64 @@ def make_constraint(model: Model, data: Data) -> Efc:
         rows_type.append(typ)
 
     # ---- equality ---------------------------------------------------------
-    if not (model.opt.disableflags & DisableBit.EQUALITY) and not disabled:
-        for e in range(model.neq):
-            if not model.eq_active0[e]:
-                continue
+    # JOINT couplings are built as ONE vectorized block (they dominate: the
+    # humanoids carry 8 each); CONNECT/WELD (rare) stay scalar. The
+    # vectorized block is used only when the active equalities are all
+    # JOINT-type so the oracle row order is preserved.
+    eq_active_ids = [
+        e for e in range(model.neq) if model.eq_active0[e]
+    ] if not (model.opt.disableflags & DisableBit.EQUALITY) and not disabled else []
+    all_joint_eq = all(
+        int(model.eq_type[e]) == int(EqType.JOINT) for e in eq_active_ids
+    )
+
+    eq_blocks = []  # (J, pos, aref, R) vectorized blocks, order-preserving
+
+    if eq_active_ids and all_joint_eq:
+        ids = np.asarray(eq_active_ids)
+        j1 = model.eq_obj1id[ids]
+        j2r = model.eq_obj2id[ids]
+        valid2 = (j2r >= 0) & (j2r < model.njnt) & (j2r != j1)
+        q1 = model.jnt_qposadr[j1]
+        v1 = model.jnt_dofadr[j1]
+        j2s = np.where(valid2, j2r, j1)
+        q2 = model.jnt_qposadr[j2s]
+        v2 = model.jnt_dofadr[j2s]
+        m2 = jnp.asarray(valid2, dtype=dtype)
+
+        dat = model.eq_data[ids]  # (ne, 11)
+        dif = m2 * (data.qpos[q2] - model.qpos0[q2])
+        poly = (
+            dat[:, 0]
+            + dat[:, 1] * dif
+            + dat[:, 2] * dif**2
+            + dat[:, 3] * dif**3
+            + dat[:, 4] * dif**4
+        )
+        dpoly = (
+            dat[:, 1]
+            + 2 * dat[:, 2] * dif
+            + 3 * dat[:, 3] * dif**2
+            + 4 * dat[:, 4] * dif**3
+        )
+        pos = data.qpos[q1] - model.qpos0[q1] - poly
+        oh1 = np.zeros((len(ids), nv))
+        oh2 = np.zeros((len(ids), nv))
+        for i in range(len(ids)):
+            oh1[i, v1[i]] = 1.0
+            oh2[i, v2[i]] = 1.0
+        jblk = jnp.asarray(oh1, dtype=dtype) + (
+            -(dpoly * m2)[:, None] * jnp.asarray(oh2, dtype=dtype)
+        )
+        iw = model.dof_invweight0[v1] + m2 * model.dof_invweight0[v2]
+        k, b, imp = kbi(model, model.eq_solref[ids], model.eq_solimp[ids], pos)
+        vel = jblk @ qvel
+        aref = -b * vel - k * imp * pos
+        r = jnp.maximum((1.0 - imp) / jnp.maximum(imp, MINVAL) * iw, MINVAL)
+        eq_blocks.append((jblk, pos, aref, r))
+        rows_type.extend([EQUALITY] * len(ids))
+    elif eq_active_ids:
+        for e in eq_active_ids:
             etype = int(model.eq_type[e])
             solref, solimp = model.eq_solref[e], model.eq_solimp[e]
             if etype == int(EqType.JOINT):
@@ -169,7 +223,8 @@ def make_constraint(model: Model, data: Data) -> Efc:
                     model, solref, solimp, pos, jrow, qvel, iw
                 )
                 add_row(jrow, pos, aref, r, EQUALITY)
-            elif etype == int(EqType.CONNECT):
+                continue
+            if etype == int(EqType.CONNECT):
                 b1, b2 = int(model.eq_obj1id[e]), int(model.eq_obj2id[e])
                 anchor1 = model.eq_data[e, 0:3]
                 anchor2 = model.eq_data[e, 3:6]
@@ -227,53 +282,64 @@ def make_constraint(model: Model, data: Data) -> Efc:
             else:
                 raise NotImplementedError(f"equality type {etype}")
 
-    # ---- dof friction loss ------------------------------------------------
+    # ---- dof friction loss (one vectorized block) -------------------------
+    fl_block = None
     if not (model.opt.disableflags & DisableBit.FRICTIONLOSS) and not disabled:
         fl_dofs = np.nonzero(model.dof_frictionloss0 > 0)[0]
-        for d in [int(x) for x in fl_dofs]:
-            jrow = jnp.zeros(nv, dtype=dtype).at[d].set(1.0)
-            aref, r, _ = _finalize_row(
-                model,
-                model.dof_solref[d],
-                model.dof_solimp[d],
-                jnp.zeros((), dtype=dtype),
-                jrow,
-                qvel,
-                model.dof_invweight0[d],
+        if len(fl_dofs):
+            nfl = len(fl_dofs)
+            oh = np.zeros((nfl, nv))
+            oh[np.arange(nfl), fl_dofs] = 1.0
+            jblk = jnp.asarray(oh, dtype=dtype)
+            zero_pos = jnp.zeros(nfl, dtype=dtype)
+            k, b, imp = kbi(
+                model, model.dof_solref[fl_dofs], model.dof_solimp[fl_dofs],
+                zero_pos,
             )
-            add_row(
-                jrow, 0.0, aref, r, FRICTION_DOF, fl=model.dof_frictionloss[d]
+            aref = -b * qvel[fl_dofs]
+            r = jnp.maximum(
+                (1.0 - imp) / jnp.maximum(imp, MINVAL)
+                * model.dof_invweight0[fl_dofs],
+                MINVAL,
             )
+            fl_block = (jblk, zero_pos, aref, r, model.dof_frictionloss[fl_dofs])
+            rows_type.extend([FRICTION_DOF] * nfl)
 
-    # ---- joint limits ------------------------------------------------------
+    # ---- joint limits (one vectorized block) -------------------------------
+    lim_block = None
     if not (model.opt.disableflags & DisableBit.LIMIT) and not disabled:
-        for j in range(model.njnt):
-            if not model.jnt_limited[j]:
-                continue
-            q = int(model.jnt_qposadr[j])
-            v = int(model.jnt_dofadr[j])
-            lo, hi = model.jnt_range[j, 0], model.jnt_range[j, 1]
-            margin = model.jnt_margin[j]
+        lim_j = np.nonzero(model.jnt_limited)[0]
+        if len(lim_j):
+            nl = len(lim_j)
+            q = model.jnt_qposadr[lim_j]
+            v = model.jnt_dofadr[lim_j]
+            lo = model.jnt_range[lim_j, 0]
+            hi = model.jnt_range[lim_j, 1]
+            margin = model.jnt_margin[lim_j]
             dist_lo = data.qpos[q] - lo
             dist_hi = hi - data.qpos[q]
             use_lo = dist_lo <= dist_hi
             dist = jnp.where(use_lo, dist_lo, dist_hi)
             sign = jnp.where(use_lo, 1.0, -1.0).astype(dtype)
-            jrow = jnp.zeros(nv, dtype=dtype).at[v].set(1.0) * sign
+            oh = np.zeros((nl, nv))
+            oh[np.arange(nl), v] = 1.0
+            jblk = jnp.asarray(oh, dtype=dtype) * sign[:, None]
             pos = dist - margin
-            active = dist < margin
-            aref, r, _ = _finalize_row(
-                model,
-                model.jnt_solref[j],
-                model.jnt_solimp[j],
-                pos,
-                jrow,
-                qvel,
-                model.dof_invweight0[v],
+            lim_active = dist < margin
+            k, b, imp = kbi(
+                model, model.jnt_solref[lim_j], model.jnt_solimp[lim_j], pos
             )
-            add_row(jrow, pos, aref, r, LIMIT_JOINT, active=active)
+            vel = sign * qvel[v]
+            aref = -b * vel - k * imp * pos
+            r = jnp.maximum(
+                (1.0 - imp) / jnp.maximum(imp, MINVAL)
+                * model.dof_invweight0[v],
+                MINVAL,
+            )
+            lim_block = (jblk, pos, aref, r, lim_active)
+            rows_type.extend([LIMIT_JOINT] * nl)
 
-    n_scalar = len(rows_J)
+    n_scalar = len(rows_type)
 
     # ---- contacts ----------------------------------------------------------
     con = data.contact
@@ -413,23 +479,42 @@ def make_constraint(model: Model, data: Data) -> Efc:
             con_dim=con_dim,
         )
 
-    def cat(scalar_rows, blocks, stackfn=jnp.stack):
-        parts = []
-        if scalar_rows:
-            parts.append(stackfn(scalar_rows))
-        parts.extend(blocks)
-        return jnp.concatenate(parts) if parts else None
+    # stitch ordered row blocks: [scalar eq rows | eq block] fl lim contacts
+    J_p, pos_p, aref_p, R_p, fl_p, act_p = [], [], [], [], [], []
 
-    J = cat(rows_J, blk_J)
-    pos = cat(rows_pos, blk_pos)
-    aref = cat(rows_aref, blk_aref)
-    R = cat(rows_R, blk_R)
-    nblk = len(blk_type)
-    floss = jnp.concatenate(
-        ([jnp.stack(rows_fl)] if rows_fl else [])
-        + ([jnp.zeros(nblk, dtype=dtype)] if nblk else [])
-    )
-    active = cat(rows_active, blk_active)
+    def push(jb, pb, ab, rb, flb=None, actb=None):
+        n = jb.shape[0]
+        J_p.append(jb)
+        pos_p.append(pb)
+        aref_p.append(ab)
+        R_p.append(rb)
+        fl_p.append(flb if flb is not None else jnp.zeros(n, dtype=dtype))
+        act_p.append(
+            actb if actb is not None else jnp.ones(n, dtype=bool)
+        )
+
+    if rows_J:
+        push(
+            jnp.stack(rows_J), jnp.stack(rows_pos), jnp.stack(rows_aref),
+            jnp.stack(rows_R), jnp.stack(rows_fl), jnp.stack(rows_active),
+        )
+    for (jb, pb, ab, rb) in eq_blocks:
+        push(jb, pb, ab, rb)
+    if fl_block is not None:
+        jb, pb, ab, rb, flv = fl_block
+        push(jb, pb, ab, rb, flb=flv)
+    if lim_block is not None:
+        jb, pb, ab, rb, actb = lim_block
+        push(jb, pb, ab, rb, actb=actb)
+    for i in range(len(blk_J)):
+        push(blk_J[i], blk_pos[i], blk_aref[i], blk_R[i], actb=blk_active[i])
+
+    J = jnp.concatenate(J_p)
+    pos = jnp.concatenate(pos_p)
+    aref = jnp.concatenate(aref_p)
+    R = jnp.concatenate(R_p)
+    floss = jnp.concatenate(fl_p)
+    active = jnp.concatenate(act_p)
     type_arr = np.asarray(rows_type + blk_type, dtype=np.int32)
 
     return Efc(

@@ -149,7 +149,9 @@ def _euler(model: Model, data: Data) -> Data:
         # case (every robot in the suite has joint damping anyway).
         mh = data.qM + dt * jnp.diag(model.dof_damping)
         total_frc = inertia.mul_m(model, data, data.qacc)
-        dv = jnp.linalg.solve(mh, total_frc)
+        from . import linalg
+
+        dv = linalg.spd_solve(mh, total_frc)
         qvel = data.qvel + dt * dv
 
     qpos = data.qpos + dt * qvel  # nq == nv: plain addition, no quaternions

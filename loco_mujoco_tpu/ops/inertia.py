@@ -11,9 +11,9 @@ keeping the computation one masked matmul.
 from __future__ import annotations
 
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
 
 from ..core.types import Data, Model
+from . import linalg
 from . import math as m3
 
 
@@ -38,16 +38,14 @@ def crb(model: Model, data: Data) -> Data:
 
 
 def factor_m(model: Model, data: Data) -> Data:
-    """Cholesky factorization of qM (dense; MuJoCo's qLD plays this role)."""
-    return data.replace(qLD=jnp.linalg.cholesky(data.qM))
+    """Cholesky factorization of qM (dense; MuJoCo's qLD plays this role).
+    Unrolled factorization — see ops/linalg.py for why not jnp.linalg."""
+    return data.replace(qLD=linalg.cholesky(data.qM))
 
 
 def solve_m(model: Model, data: Data, x: jnp.ndarray) -> jnp.ndarray:
     """Solve qM y = x using the cached Cholesky factor. x: (..., nv)."""
-    lower = data.qLD
-    y = solve_triangular(lower, x[..., None], lower=True)
-    y = solve_triangular(lower.T, y, lower=False)
-    return y[..., 0]
+    return linalg.cho_solve(data.qLD, x)
 
 
 def mul_m(model: Model, data: Data, x: jnp.ndarray) -> jnp.ndarray:

@@ -17,59 +17,83 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.types import Data, JointType, Model
 from . import math as m3
 
 
 def kinematics(model: Model, data: Data) -> Data:
-    """Forward kinematics: body/geom/site frames and joint anchors/axes."""
-    nq_dtype = data.qpos.dtype
-    xpos = [jnp.zeros(3, dtype=nq_dtype)] * model.nbody
-    xquat = [jnp.array([1.0, 0, 0, 0], dtype=nq_dtype)] * model.nbody
-    xanchor = [None] * model.njnt
-    xaxis = [None] * model.njnt
+    """Forward kinematics: body/geom/site frames and joint anchors/axes.
 
-    for b in range(1, model.nbody):
-        pid = int(model.body_parentid[b])
+    The body recursion runs as a lax.scan over topologically-ordered bodies
+    (bodies are stored parent-before-child in MJCF models) with a short
+    unrolled inner loop over each body's joints. An unrolled whole-tree
+    graph triggers superlinear XLA compile times on the bigger humanoids
+    (~4 minutes for nv=37 on CPU); the scan form compiles in seconds and
+    runs at the same speed under vmap.
+    """
+    dtype = data.qpos.dtype
+    nb, nj = model.nbody, model.njnt
+    maxj = int(model.body_jntnum.max()) if nj else 0
+
+    if not np.all(np.asarray(model.jnt_type) >= int(JointType.SLIDE)):
+        raise NotImplementedError("hinge/slide joints only")
+
+    parent = jnp.asarray(model.body_parentid)
+    jadr = jnp.asarray(model.body_jntadr)
+    jnum = jnp.asarray(model.body_jntnum)
+    jtype = jnp.asarray(model.jnt_type)
+    qadr = jnp.asarray(model.jnt_qposadr)
+
+    xpos0 = jnp.zeros((nb, 3), dtype=dtype)
+    xquat0 = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
+    xanchor0 = jnp.zeros((max(nj, 1), 3), dtype=dtype)
+    xaxis0 = jnp.zeros((max(nj, 1), 3), dtype=dtype)
+
+    def body_step(carry, b):
+        xpos, xquat, xanchor, xaxis = carry
+        pid = parent[b]
         pos = xpos[pid] + m3.quat_rotate(xquat[pid], model.body_pos[b])
         quat = m3.quat_mul(xquat[pid], model.body_quat[b])
 
-        jadr, jnum = int(model.body_jntadr[b]), int(model.body_jntnum[b])
-        for j in range(jadr, jadr + jnum):
-            qadr = int(model.jnt_qposadr[j])
-            jtype = int(model.jnt_type[j])
-            anchor = pos + m3.quat_rotate(quat, model.jnt_pos[j])
-            axis = m3.quat_rotate(quat, model.jnt_axis[j])
-            xanchor[j] = anchor
-            xaxis[j] = axis
-            qdelta = data.qpos[qadr] - model.qpos0[qadr]
-            if jtype == JointType.SLIDE:
-                pos = pos + axis * qdelta
-            elif jtype == JointType.HINGE:
-                qloc = m3.axis_angle_to_quat(model.jnt_axis[j], qdelta)
-                quat = m3.quat_mul(quat, qloc)
-                pos = anchor - m3.quat_rotate(quat, model.jnt_pos[j])
-            else:
-                raise NotImplementedError(
-                    f"joint type {jtype} not supported (hinge/slide only)"
-                )
-        xpos[b] = pos
-        xquat[b] = quat
+        for i in range(maxj):
+            j = jadr[b] + i
+            valid = i < jnum[b]
+            js = jnp.clip(j, 0, nj - 1)
+            jp = model.jnt_pos[js]
+            ja = model.jnt_axis[js]
+            anchor = pos + m3.quat_rotate(quat, jp)
+            axis = m3.quat_rotate(quat, ja)
+            xanchor = xanchor.at[js].set(
+                jnp.where(valid, anchor, xanchor[js])
+            )
+            xaxis = xaxis.at[js].set(jnp.where(valid, axis, xaxis[js]))
+            qd = data.qpos[qadr[js]] - model.qpos0[qadr[js]]
+            is_slide = jtype[js] == int(JointType.SLIDE)
+            pos_slide = pos + axis * qd
+            qloc = m3.axis_angle_to_quat(ja, qd)
+            quat_h = m3.quat_mul(quat, qloc)
+            pos_h = anchor - m3.quat_rotate(quat_h, jp)
+            pos_new = jnp.where(is_slide, pos_slide, pos_h)
+            quat_new = jnp.where(is_slide, quat, quat_h)
+            pos = jnp.where(valid, pos_new, pos)
+            quat = jnp.where(valid, quat_new, quat)
 
-    xpos = jnp.stack(xpos)
-    xquat = jnp.stack(xquat)
+        xpos = xpos.at[b].set(pos)
+        xquat = xquat.at[b].set(quat)
+        return (xpos, xquat, xanchor, xaxis), None
+
+    (xpos, xquat, xanchor, xaxis), _ = jax.lax.scan(
+        body_step, (xpos0, xquat0, xanchor0, xaxis0), jnp.arange(1, nb)
+    )
+    if nj == 0:
+        xanchor = jnp.zeros((0, 3), dtype=dtype)
+        xaxis = jnp.zeros((0, 3), dtype=dtype)
     xmat = m3.quat_to_mat(xquat)
 
     xipos = xpos + jax.vmap(m3.quat_rotate)(xquat, model.body_ipos)
     ximat = xmat @ m3.quat_to_mat(model.body_iquat)
-
-    if model.njnt:
-        xanchor = jnp.stack(xanchor)
-        xaxis = jnp.stack(xaxis)
-    else:
-        xanchor = jnp.zeros((0, 3), dtype=nq_dtype)
-        xaxis = jnp.zeros((0, 3), dtype=nq_dtype)
 
     gb = model.geom_bodyid
     geom_xpos = xpos[gb] + jnp.einsum(
@@ -82,8 +106,8 @@ def kinematics(model: Model, data: Data) -> Data:
         site_xpos = xpos[sb] + jnp.einsum("bij,bj->bi", xmat[sb], model.site_pos)
         site_xmat = xmat[sb] @ m3.quat_to_mat(model.site_quat)
     else:
-        site_xpos = jnp.zeros((0, 3), dtype=nq_dtype)
-        site_xmat = jnp.zeros((0, 3, 3), dtype=nq_dtype)
+        site_xpos = jnp.zeros((0, 3), dtype=dtype)
+        site_xmat = jnp.zeros((0, 3, 3), dtype=dtype)
 
     return data.replace(
         xpos=xpos,
@@ -105,17 +129,25 @@ def com_pos(model: Model, data: Data) -> Data:
     vectors (cdof), matching MuJoCo's mj_comPos conventions."""
     dtype = data.qpos.dtype
 
-    # subtree com: bottom-up mass-weighted average
+    # subtree com: bottom-up mass-weighted average (reverse scan over the
+    # parent-ordered body array — see kinematics() for why not unrolled)
     mass = model.body_mass  # (nbody,)
-    weighted = [mass[b] * data.xipos[b] for b in range(model.nbody)]
-    submass = [mass[b] for b in range(model.nbody)]
-    for b in range(model.nbody - 1, 0, -1):
-        pid = int(model.body_parentid[b])
-        weighted[pid] = weighted[pid] + weighted[b]
-        submass[pid] = submass[pid] + submass[b]
-    subtree_com = jnp.stack(
-        [weighted[b] / jnp.maximum(submass[b], 1e-12) for b in range(model.nbody)]
+    parent = jnp.asarray(model.body_parentid)
+    weighted0 = mass[:, None] * data.xipos
+    submass0 = mass
+
+    def up_step(carry, b):
+        weighted, submass = carry
+        pid = parent[b]
+        weighted = weighted.at[pid].add(weighted[b])
+        submass = submass.at[pid].add(submass[b])
+        return (weighted, submass), None
+
+    (weighted, submass), _ = jax.lax.scan(
+        up_step, (weighted0, submass0),
+        jnp.arange(model.nbody - 1, 0, -1),
     )
+    subtree_com = weighted / jnp.maximum(submass, 1e-12)[:, None]
 
     # per-body com-frame center: subtree_com of the body's kinematic root
     root = model.body_rootid  # (nbody,)
@@ -141,23 +173,19 @@ def com_pos(model: Model, data: Data) -> Data:
         axis=-1,
     )
 
-    # cdof per dof: motion subspace at the com-centered frame
-    cdofs = []
-    for j in range(model.njnt):
-        jtype = int(model.jnt_type[j])
-        b = int(model.jnt_bodyid[j])
-        axis = data.xaxis[j]
-        if jtype == JointType.SLIDE:
-            cdofs.append(jnp.concatenate([jnp.zeros(3, dtype=dtype), axis]))
-        elif jtype == JointType.HINGE:
-            offset = center[b] - data.xanchor[j]
-            cdofs.append(jnp.concatenate([axis, jnp.cross(axis, offset)]))
-        else:
-            raise NotImplementedError
-    cdof = (
-        jnp.stack(cdofs)
-        if cdofs
-        else jnp.zeros((0, 6), dtype=dtype)
-    )
+    # cdof per dof: motion subspace at the com-centered frame (vectorized;
+    # hinge/slide only, nq == nv)
+    if model.njnt:
+        jb = model.jnt_bodyid
+        axis = data.xaxis  # (njnt, 3)
+        offset = center[jb] - data.xanchor  # (njnt, 3)
+        hinge = jnp.asarray(
+            model.jnt_type == int(JointType.HINGE)
+        )[:, None]
+        ang = jnp.where(hinge, axis, 0.0)
+        lin = jnp.where(hinge, jnp.cross(axis, offset), axis)
+        cdof = jnp.concatenate([ang, lin], axis=-1)
+    else:
+        cdof = jnp.zeros((0, 6), dtype=dtype)
 
     return data.replace(subtree_com=subtree_com, cinert=cinert, cdof=cdof)

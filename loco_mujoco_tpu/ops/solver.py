@@ -27,9 +27,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import cho_factor, cho_solve
-
 from ..core.types import Data, Model
+from . import linalg
 from .constraint import Efc
 
 MINVAL = 1e-15
@@ -249,135 +248,170 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
     x0 = jnp.where(c_ws < c_sm, data.qacc_warmstart, data.qacc_smooth)
 
     has_ell = len(efc.ell_start) > 0
+    # batched mode: small static iteration budget (set by the env layer) —
+    # under vmap convergence checks buy nothing (the loop runs until every
+    # env converges), so the fast path drops them and unrolls the line
+    # search; the oracle-parity path (MuJoCo-default budgets, single env,
+    # f64) keeps the convergent while_loop scheme.
+    fast_path = model.opt.iterations <= 16 and model.opt.ls_iterations <= 8
 
-    def iteration(state):
-        x, prev_cost, it, done = state
+    def newton_direction(x):
         jar = J @ x - aref
         q, tables = _quantities(model, efc, jar, dtype)
         mx = M @ (x - data.qacc_smooth)
         grad = mx - J.T @ q.force
 
-        # Hessian: M + J' diag(w) J (+ rank-1 cone terms)
+        # Hessian: M + J' diag(w) J (+ cone terms)
         JW = J * q.hweight[:, None]
         H = M + J.T @ JW
         if has_ell:
             idx, gvec, w, jt_s, wdir, c2 = _cone_hessian_terms(
                 model, efc, jar, tables, dtype
             )
-            # rank-1 Gauss-Newton term along the cone gradient
             Jg = jnp.einsum("ck,ckv->cv", gvec, J[idx])  # (ncon, nv)
             H = H + jnp.einsum("c,cv,cw->vw", w, Jg, Jg)
-            # tangential curvature: c2 * (sum_i Jt_i'Jt_i - q q')
             Jt = J[idx] * jt_s[:, :, None]  # (ncon, maxdim, nv)
             Jq = jnp.einsum("ck,ckv->cv", wdir, Jt)  # (ncon, nv)
             H = H + jnp.einsum("c,ckv,ckw->vw", c2, Jt, Jt)
             H = H - jnp.einsum("c,cv,cw->vw", c2, Jq, Jq)
-        # regularize lightly for numerical safety
         H = H + jnp.eye(nv, dtype=dtype) * 1e-12
 
-        L = cho_factor(H, lower=True)
-        dx = -cho_solve(L, grad)
-
-        # exact line search on alpha via scalar Newton (cost is convex
-        # piecewise quadratic in alpha)
+        L = linalg.cholesky(H)
+        dx = -linalg.cho_solve(L, grad)
         jv = J @ dx
-        mv = M @ dx
         g0 = dx @ mx
-        h0 = dx @ mv
+        h0 = dx @ (M @ dx)
+        return jar, grad, dx, jv, g0, h0
 
-        def phi_derivs(a):
-            jar_a = jar + a * jv
-            qa, _ = _quantities(model, efc, jar_a, dtype)
-            d1 = g0 + a * h0 - jnp.dot(qa.force, jv)
-            d2 = h0 + jnp.dot(qa.hweight * jv, jv)
-            if has_ell:
-                idxa, gveca, wa, jt_sa, wdira, c2a = _cone_hessian_terms(
-                    model, efc, jar_a, _ell_tables(efc, dtype), dtype
-                )
-                jv_c = jv[idxa]
-                gjv = jnp.einsum("ck,ck->c", gveca, jv_c)
-                d2 = d2 + jnp.sum(wa * gjv * gjv)
-                tjv = jv_c * jt_sa
-                qjv = jnp.einsum("ck,ck->c", wdira, tjv)
-                d2 = d2 + jnp.sum(
-                    c2a * (jnp.sum(tjv * tjv, axis=1) - qjv * qjv)
-                )
-            return d1, d2
+    def phi_prime(jar, jv, g0, h0, a):
+        """phi'(a) — one fused constraint-row pass (no curvature)."""
+        qa, _ = _quantities(model, efc, jar + a * jv, dtype)
+        return g0 + a * h0 - jnp.dot(qa.force, jv)
 
-        # --- exact line search: phi'(a) is continuous piecewise-linear and
-        # increasing (phi convex), so bracket the root then regula falsi.
-        d_lo, _ = phi_derivs(jnp.zeros((), dtype=dtype))  # < 0 (descent dir)
-
-        def grow_body(gs):
-            hi, d_hi, k = gs
-            hi2 = hi * 2.0
-            d2_, _ = phi_derivs(hi2)
-            return hi2, d2_, k + 1
-
-        def grow_cond(gs):
-            hi, d_hi, k = gs
-            # small static growth cap: under vmap the loop runs until every
-            # env's bracket closes, so the cap IS the cost; 2^8 x overshoot
-            # is plenty (warm-started steps live near alpha ~ 1)
-            return (d_hi < 0) & (k < 8)
-
-        d_hi0, _ = phi_derivs(jnp.ones((), dtype=dtype))
-        hi, d_hi, _ = jax.lax.while_loop(
-            grow_cond, grow_body,
-            (jnp.ones((), dtype=dtype), d_hi0, jnp.zeros((), jnp.int32)),
-        )
-
-        def ls_body(ls_state):
-            lo, dlo, hi_, dhi, k = ls_state
-            denom = dhi - dlo
-            a = jnp.where(
-                denom > MINVAL, lo - dlo * (hi_ - lo) / denom, 0.5 * (lo + hi_)
+    def phi_derivs(jar, jv, g0, h0, a):
+        jar_a = jar + a * jv
+        qa, _ = _quantities(model, efc, jar_a, dtype)
+        d1 = g0 + a * h0 - jnp.dot(qa.force, jv)
+        d2 = h0 + jnp.dot(qa.hweight * jv, jv)
+        if has_ell:
+            idxa, gveca, wa, jt_sa, wdira, c2a = _cone_hessian_terms(
+                model, efc, jar_a, _ell_tables(efc, dtype), dtype
             )
-            a = jnp.clip(a, lo, hi_)
-            d, _ = phi_derivs(a)
-            neg = d < 0
-            lo2 = jnp.where(neg, a, lo)
-            dlo2 = jnp.where(neg, d, dlo)
-            hi2 = jnp.where(neg, hi_, a)
-            dhi2 = jnp.where(neg, dhi, d)
-            return lo2, dlo2, hi2, dhi2, k + 1
+            jv_c = jv[idxa]
+            gjv = jnp.einsum("ck,ck->c", gveca, jv_c)
+            d2 = d2 + jnp.sum(wa * gjv * gjv)
+            tjv = jv_c * jt_sa
+            qjv = jnp.einsum("ck,ck->c", wdira, tjv)
+            d2 = d2 + jnp.sum(c2a * (jnp.sum(tjv * tjv, axis=1) - qjv * qjv))
+        return d1, d2
 
-        def ls_cond(ls_state):
-            lo, dlo, hi_, dhi, k = ls_state
-            return (k < model.opt.ls_iterations) & ((hi_ - lo) > ls_atol)
-
-        lo, dlo, hi, dhi, _ = jax.lax.while_loop(
-            ls_cond, ls_body,
-            (jnp.zeros((), dtype=dtype), d_lo, hi, d_hi,
-             jnp.zeros((), jnp.int32)),
-        )
+    def falsi(lo, dlo, hi, dhi):
         denom = dhi - dlo
-        alpha = jnp.where(
+        a = jnp.where(
             denom > MINVAL, lo - dlo * (hi - lo) / denom, 0.5 * (lo + hi)
         )
-        alpha = jnp.clip(alpha, lo, hi)
-        # if phi' never became positive the minimum is past hi — take hi
-        alpha = jnp.where(dhi < 0, hi, alpha)
+        return jnp.clip(a, lo, hi)
 
-        x_new = x + alpha * dx
-        new_cost = cost_at(x_new)
-        improvement = (prev_cost - new_cost) / scale
-        gradient = jnp.linalg.norm(grad) / scale
-        done = (improvement < tol) | (gradient < tol)
-        # keep the better point (line search should guarantee descent)
-        take = new_cost < prev_cost
-        x_out = jnp.where(take, x_new, x)
-        cost_out = jnp.where(take, new_cost, prev_cost)
-        return x_out, cost_out, it + 1, done
+    if fast_path:
+        # Newton's quadratic model says alpha = 1; refine with a few
+        # unrolled safeguarded-secant steps on phi' (phi is convex, so any
+        # point with phi' < 0 on [0, a] is a descent point).
+        def iteration_fast(_, x):
+            jar, grad, dx, jv, g0, h0 = newton_direction(x)
+            lo = jnp.zeros((), dtype=dtype)
+            dlo = g0  # phi'(0) = grad . dx  (= -dx H dx < 0)
+            hi = jnp.zeros((), dtype=dtype)
+            dhi = jnp.ones((), dtype=dtype)
+            has_hi = jnp.asarray(False)
+            a = jnp.ones((), dtype=dtype)
+            for _k in range(model.opt.ls_iterations):
+                d = phi_prime(jar, jv, g0, h0, a)
+                neg = d < 0
+                lo = jnp.where(neg, a, lo)
+                dlo = jnp.where(neg, d, dlo)
+                hi = jnp.where(neg, hi, a)
+                dhi = jnp.where(neg, dhi, d)
+                has_hi = has_hi | ~neg
+                a = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), a * 2.0)
+            alpha = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), lo)
+            return x + alpha * dx
 
-    def cond(state):
-        _, _, it, done = state
-        return (it < model.opt.iterations) & ~done
+        x = jax.lax.fori_loop(
+            0, model.opt.iterations, iteration_fast, x0, unroll=True
+        )
+    else:
+        def cost_at_x(x):
+            jar = J @ x - aref
+            q, _ = _quantities(model, efc, jar, dtype)
+            gauss = 0.5 * (x - data.qacc_smooth) @ (M @ (x - data.qacc_smooth))
+            return q.cost + gauss
 
-    cost0 = jnp.minimum(c_ws, c_sm)
-    x, _, _, _ = jax.lax.while_loop(
-        cond, iteration, (x0, cost0, jnp.zeros((), jnp.int32), jnp.asarray(False))
-    )
+        def iteration(state):
+            x, prev_cost, it, done = state
+            jar, grad, dx, jv, g0, h0 = newton_direction(x)
+
+            d_lo = g0
+
+            def grow_body(gs):
+                hi, d_hi, k = gs
+                hi2 = hi * 2.0
+                d2_, _ = phi_derivs(jar, jv, g0, h0, hi2)
+                return hi2, d2_, k + 1
+
+            def grow_cond(gs):
+                hi, d_hi, k = gs
+                return (d_hi < 0) & (k < 16)
+
+            d_hi0, _ = phi_derivs(jar, jv, g0, h0, jnp.ones((), dtype=dtype))
+            hi, d_hi, _ = jax.lax.while_loop(
+                grow_cond, grow_body,
+                (jnp.ones((), dtype=dtype), d_hi0, jnp.zeros((), jnp.int32)),
+            )
+
+            def ls_body(ls_state):
+                lo, dlo, hi_, dhi, k = ls_state
+                a = falsi(lo, dlo, hi_, dhi)
+                d, _ = phi_derivs(jar, jv, g0, h0, a)
+                neg = d < 0
+                return (
+                    jnp.where(neg, a, lo),
+                    jnp.where(neg, d, dlo),
+                    jnp.where(neg, hi_, a),
+                    jnp.where(neg, dhi, d),
+                    k + 1,
+                )
+
+            def ls_cond(ls_state):
+                lo, dlo, hi_, dhi, k = ls_state
+                return (k < model.opt.ls_iterations) & ((hi_ - lo) > ls_atol)
+
+            lo, dlo, hi, dhi, _ = jax.lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.zeros((), dtype=dtype), d_lo, hi, d_hi,
+                 jnp.zeros((), jnp.int32)),
+            )
+            alpha = falsi(lo, dlo, hi, dhi)
+            alpha = jnp.where(dhi < 0, hi, alpha)
+
+            x_new = x + alpha * dx
+            new_cost = cost_at_x(x_new)
+            improvement = (prev_cost - new_cost) / scale
+            gradient = jnp.linalg.norm(grad) / scale
+            done = (improvement < tol) | (gradient < tol)
+            take = new_cost < prev_cost
+            x_out = jnp.where(take, x_new, x)
+            cost_out = jnp.where(take, new_cost, prev_cost)
+            return x_out, cost_out, it + 1, done
+
+        def cond(state):
+            _, _, it, done = state
+            return (it < model.opt.iterations) & ~done
+
+        cost0 = jnp.minimum(c_ws, c_sm)
+        x, _, _, _ = jax.lax.while_loop(
+            cond, iteration,
+            (x0, cost0, jnp.zeros((), jnp.int32), jnp.asarray(False)),
+        )
 
     jar = J @ x - aref
     q, _ = _quantities(model, efc, jar, dtype)
