@@ -12,8 +12,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/lmt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 
 def main():

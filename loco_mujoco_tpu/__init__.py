@@ -17,6 +17,8 @@ from .models.humanoids import unitree_h1 as _h1  # noqa: F401
 from .models.humanoids import unitree_g1 as _g1  # noqa: F401
 from .models.humanoids import talos as _talos  # noqa: F401
 from .models.humanoids import atlas as _atlas  # noqa: F401
+from .models.humanoids import humanoid_4_ages as _h4a  # noqa: F401
+from .models.humanoids import myoskeleton as _myo  # noqa: F401
 from .envs import gymnasium_env as _gym  # noqa: F401
 
 __version__ = "0.1.0"

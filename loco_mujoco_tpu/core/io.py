@@ -164,8 +164,10 @@ def _candidate_pairs(m: mujoco.MjModel):
 def _mix_pair_params(m: mujoco.MjModel, g1: int, g2: int):
     """Contact parameter combination, MuJoCo rules (priority/solmix/max)."""
     p1, p2 = int(m.geom_priority[g1]), int(m.geom_priority[g2])
-    margin = max(float(m.geom_margin[g1]), float(m.geom_margin[g2]))
-    gap = max(float(m.geom_gap[g1]), float(m.geom_gap[g2]))
+    # margins/gaps ADD across the pair (verified vs oracle includemargin:
+    # two geoms with margin 0.001 give a contact includemargin of 0.002)
+    margin = float(m.geom_margin[g1]) + float(m.geom_margin[g2])
+    gap = float(m.geom_gap[g1]) + float(m.geom_gap[g2])
     if p1 != p2:
         g = g1 if p1 > p2 else g2
         condim = int(m.geom_condim[g])
@@ -191,7 +193,8 @@ def _mix_pair_params(m: mujoco.MjModel, g1: int, g2: int):
     return condim, friction, solref, solimp, margin, gap
 
 
-def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
+def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
+              contact_k_other=4) -> Model:
     """Extract a compiled MjModel into our JAX Model pytree."""
 
     def jarr(x):
@@ -385,6 +388,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
         dof_ancestor_mask=ancestor_mask,
         dof_frictionloss0=np.asarray(m.dof_frictionloss),
         stat_meaninertia=float(m.stat.meaninertia),
+        contact_k_plane=int(contact_k_plane),
+        contact_k_other=int(contact_k_other),
         tendon_range=np.asarray(m.tendon_range),
         tendon_limited=np.asarray(m.tendon_limited),
         tendon_stiffness=np.asarray(m.tendon_stiffness),
@@ -436,8 +441,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32) -> Model:
     )
 
 
-def load_model(xml_path: str, dtype=jnp.float32) -> Model:
-    return put_model(load_mj_model(xml_path), dtype=dtype)
+def load_model(xml_path: str, dtype=jnp.float32, **kw) -> Model:
+    return put_model(load_mj_model(xml_path), dtype=dtype, **kw)
 
 
 def ncon_max(model: Model) -> int:

@@ -215,6 +215,10 @@ class Model:
     dof_frictionloss0: np.ndarray = static_field(default=None)  # (nv,)
     # mjModel.stat.meaninertia — the solver's convergence scale
     stat_meaninertia: float = static_field(default=1.0)
+    # top-K contact-pair budgets per collision group (ops/collision.py);
+    # correctness requires K >= simultaneously near-touching pairs per group
+    contact_k_plane: int = static_field(default=8)
+    contact_k_other: int = static_field(default=4)
     # tendon limits/passive params
     tendon_range: np.ndarray = static_field(default=None)  # (ntendon, 2)
     tendon_limited: np.ndarray = static_field(default=None)  # (ntendon,)

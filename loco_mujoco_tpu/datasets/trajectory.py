@@ -167,11 +167,18 @@ class TrajectoryData:
         return [np.stack(o) for o in out]
 
     # ---- device-side sampling --------------------------------------------
-    def sample_reset(self, rng, xy_cols=(0, 1)):
+    def sample_reset(self, rng, xy_cols=(0, 1), traj_lo=0, traj_hi=None):
         """Random (traj, step) reset sample with x/y recentred to zero.
+        traj_lo/traj_hi (possibly traced) restrict the trajectory range —
+        used by multi-model envs whose dataset is ordered per variant
+        (reference scaling_trajectory_map, base_humanoid_4_ages.py:132-136).
         Returns (sample (sample_dim,), traj_no, step)."""
         k1, k2 = jax.random.split(rng)
-        traj_no = jax.random.randint(k1, (), 0, self.n_traj)
+        if traj_hi is None:
+            traj_hi = self.n_traj
+        traj_no = traj_lo + jax.random.randint(
+            k1, (), 0, jnp.asarray(traj_hi) - traj_lo
+        )
         step = jax.random.randint(k2, (), 0, self.traj_len)
         sample = self.flat[traj_no, step]
         for c in xy_cols:

@@ -51,6 +51,7 @@ class EnvState:
     goal: jax.Array  # (2,) [angle, speed] (zeros when unused)
     grf_window: jax.Array  # (window, grf_dim) ground-reaction-force history
     env_id: jax.Array  # () int32 — model variant id (multi-model envs)
+    dr: Any  # dict of domain-randomized parameter draws ({} when unused)
 
 
 class LocoEnv:
@@ -83,6 +84,7 @@ class LocoEnv:
         auto_reset: bool = True,
         model_variants=None,
         random_env_reset: bool = True,
+        domain_randomization_config: Optional[str] = None,
         dtype=jnp.float32,
     ):
         self.auto_reset = auto_reset
@@ -125,6 +127,17 @@ class LocoEnv:
         else:
             self.variants = None
             self.n_variants = 1
+
+        # domain randomization: batched parameter resampling at reset
+        # (replaces the reference's per-episode XML recompilation pool)
+        if domain_randomization_config is not None:
+            from ..utils.domain_randomization import DomainRandomizationHandler
+
+            self.domain_rand = DomainRandomizationHandler(
+                model, domain_randomization_config
+            )
+        else:
+            self.domain_rand = None
         self.obs_index = obs_index
         self.gamma = gamma
         self.horizon = horizon
@@ -187,6 +200,11 @@ class LocoEnv:
         goal extraction. Returns (sample, goal(2,))."""
         return sample, jnp.zeros(2, dtype=self.dtype)
 
+    def _traj_range(self, env_id):
+        """Valid trajectory range for a model variant (the 4-ages envs
+        restrict sampling to the variant's share of the dataset)."""
+        return 0, None
+
     # ------------------------------------------------------------------
     # observation assembly
     # ------------------------------------------------------------------
@@ -216,14 +234,24 @@ class LocoEnv:
             return self.model
         return jax.tree_util.tree_map(lambda l: l[env_id], self.variants)
 
+    def _apply_dr(self, model, dr):
+        if self.domain_rand is None or not dr:
+            return model
+        return self.domain_rand.apply(model, dr)
+
     def _init_state(self, rng) -> EnvState:
         """Build an episode-start state (the `setup` path, base.py:205-241)."""
-        rng, k_traj, k_setup, k_env = jax.random.split(rng, 4)
+        rng, k_traj, k_setup, k_env, k_dr = jax.random.split(rng, 5)
         if self.variants is not None and self.random_env_reset:
             env_id = jax.random.randint(k_env, (), 0, self.n_variants)
         else:
             env_id = jnp.zeros((), jnp.int32)
-        model = self._model_at(env_id)
+        dr = (
+            self.domain_rand.sample(k_dr, dtype=self.dtype)
+            if self.domain_rand is not None
+            else {}
+        )
+        model = self._apply_dr(self._model_at(env_id), dr)
         data = self._fresh_data(model)
 
         goal = jnp.zeros(2, dtype=self.dtype)
@@ -231,7 +259,10 @@ class LocoEnv:
         subtraj_step = jnp.zeros((), dtype=jnp.int32)
         if self.traj is not None:
             if self.random_start:
-                sample, traj_no, subtraj_step = self.traj.sample_reset(k_traj)
+                lo, hi = self._traj_range(env_id)
+                sample, traj_no, subtraj_step = self.traj.sample_reset(
+                    k_traj, traj_lo=lo, traj_hi=hi
+                )
             elif self.init_step_no is not None:
                 tl = self.traj.traj_len
                 sub = int(self.init_step_no % tl)
@@ -265,6 +296,7 @@ class LocoEnv:
                 (self.grf_window, self.grf_size), dtype=self.dtype
             ),
             env_id=env_id,
+            dr=dr,
         )
         obs = self._build_obs(data, state)
         return state.replace(obs=obs)
@@ -275,7 +307,7 @@ class LocoEnv:
 
     def step(self, state: EnvState, action) -> EnvState:
         """One control step (n_substeps physics steps), auto-resetting."""
-        model = self._model_at(state.env_id)
+        model = self._apply_dr(self._model_at(state.env_id), state.dr)
 
         # unnormalize action (base.py:606-621)
         a = action.astype(self.dtype) * self.norm_act_delta + self.norm_act_mean
@@ -437,4 +469,5 @@ class LocoEnv:
                 (self.grf_window, self.grf_size), dtype=self.dtype
             ),
             env_id=jnp.zeros((), jnp.int32),
+            dr={},
         )

@@ -144,14 +144,22 @@ class BaseHumanoid(LocoEnv):
         init_step_no=None,
         use_foot_forces: bool = False,
         dtype=jnp.float32,
+        _prebuilt=None,
         **kwargs,
     ):
-        name = "humanoid_muscle.xml" if use_muscles else "humanoid_torque.xml"
-        xml = REF_ROOT / "environments" / "data" / "humanoid" / name
-        mj_model, joints_rm, motors_rm = _surgery(
-            xml, use_box_feet, disable_arms, alpha_box_feet
-        )
-        model = put_model(mj_model, dtype=dtype)
+        if _prebuilt is not None:
+            # 4-ages subclass supplies pre-scaled model variants
+            model, variants, joints_rm = _prebuilt
+        else:
+            name = (
+                "humanoid_muscle.xml" if use_muscles else "humanoid_torque.xml"
+            )
+            xml = REF_ROOT / "environments" / "data" / "humanoid" / name
+            mj_model, joints_rm, _ = _surgery(
+                xml, use_box_feet, disable_arms, alpha_box_feet
+            )
+            model = put_model(mj_model, dtype=dtype)
+            variants = None
 
         joints = [j for j in ALL_JOINTS if j not in joints_rm]
         obs_index = ObsIndex(model, _obs_spec(joints))
@@ -214,6 +222,7 @@ class BaseHumanoid(LocoEnv):
             use_foot_forces=use_foot_forces,
             grf_size=6 if use_box_feet else 12,
             has_fallen=has_fallen,
+            model_variants=variants,
             dtype=dtype,
             **kwargs,
         )

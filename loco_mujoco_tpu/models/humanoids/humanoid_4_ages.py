@@ -1,0 +1,258 @@
+"""4-Ages humanoids (HumanoidTorque4Ages / HumanoidMuscle4Ages).
+
+Behavioral port of reference `humanoids/base_humanoid_4_ages.py` (C5): four
+body scalings [0.4, 0.6, 0.8, 1.0] resembling toddler/child/teen/adult. The
+body scaling law (base_humanoid_4_ages.py:304-359): mesh scale x s (head
+kept), body pos x s, mass x s^3, diagonal inertia x s^5, motor gear x s^2
+(torque) / muscle force x s^2 + lengthrange x s (muscle), site pos x s.
+
+TPU-native multi-model design: the 4 scaled models share one structure and
+become stacked numeric leaves selected per env by env_id at reset (see
+envs/base.py model variants); the scaling is applied to the COMPILED model's
+numeric fields followed by mj_setConst to refresh derived constants — the
+same end state the reference reaches through per-scaling XML surgery.
+
+Observation: binary env-id bits appended (:256-277); reward:
+multi_target_velocity with per-scaling target (:279-302); resets sample
+trajectories from the variant's share of the POMDP dataset (:132-136).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import mujoco
+
+from ...core.io import put_model
+from ...envs.observation import ObsIndex
+from ...registry import register
+from ...utils.checks import ValidTaskConf, check_validity_task_mode_dataset
+from .humanoid import ALL_JOINTS, BaseHumanoid, REF_ROOT, _obs_spec, _surgery
+
+DEFAULT_SCALINGS = [0.4, 0.6, 0.8, 1.0]
+HEAD_MESHES = {"hat_skull", "hat_jaw", "hat_ribs_cap"}
+
+
+def _scale_compiled(m: mujoco.MjModel, s: float, use_muscles: bool,
+                    use_box_feet: bool):
+    """Apply the 4-ages scaling law to a compiled MjModel in place, then
+    recompute derived constants (mj_setConst)."""
+    # mesh vertices (head meshes kept at adult size)
+    for mid in range(m.nmesh):
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_MESH, mid)
+        if name in HEAD_MESHES:
+            continue
+        adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
+        m.mesh_vert[adr : adr + num] *= s
+    # reposition head geoms (base_humanoid_4_ages.py:326-328)
+    for g in range(m.ngeom):
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+        if name in HEAD_MESHES:
+            m.geom_pos[g] = [0.0, -0.5 * (1 - s), 0.0]
+
+    m.body_pos[:] *= s
+    m.body_mass[:] *= s**3
+    m.body_inertia[:] *= s**5
+
+    if use_muscles:
+        m.site_pos[:] *= s
+        for u in range(m.nu):
+            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_ACTUATOR, u)
+            if name and "mot" in name:
+                continue  # arm torque motors keep their gear
+            if m.actuator_gainprm[u, 2] > 0:
+                m.actuator_gainprm[u, 2] *= s**2
+            if m.actuator_biasprm[u, 2] > 0:
+                m.actuator_biasprm[u, 2] *= s**2
+            m.actuator_lengthrange[u] *= s
+    else:
+        m.actuator_gear[:] *= s**2
+
+    if use_box_feet:
+        # the reference adds the boxes already scaled
+        # (base_humanoid_4_ages.py:94); scaling size+pos of the added geoms
+        # on the compiled model is equivalent (toes carry explicit inertials)
+        for g in range(m.ngeom):
+            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
+            if name in ("foot_box_l", "foot_box_r"):
+                m.geom_size[g] *= s
+                m.geom_pos[g] *= s
+
+    d = mujoco.MjData(m)
+    mujoco.mj_setConst(m, d)
+    return m
+
+
+class BaseHumanoid4Ages(BaseHumanoid):
+    def __init__(
+        self,
+        scaling=None,
+        scaling_trajectory_map=None,
+        use_muscles: bool = False,
+        use_box_feet: bool = True,
+        disable_arms: bool = True,
+        alpha_box_feet: float = 0.5,
+        reward_type: str = "multi_target_velocity",
+        reward_params: dict | None = None,
+        dtype=jnp.float32,
+        **kwargs,
+    ):
+        scalings = (
+            DEFAULT_SCALINGS if scaling is None
+            else ([scaling] if np.isscalar(scaling) else list(scaling))
+        )
+        self.scalings = scalings
+        self._n_all_models = len(DEFAULT_SCALINGS)
+        self._env_id_len = int(np.ceil(np.log2(self._n_all_models)))
+        if len(scalings) == 1:
+            self._fixed_model_idx = DEFAULT_SCALINGS.index(scalings[0])
+        else:
+            self._fixed_model_idx = None
+        self._scaling_trajectory_map = scaling_trajectory_map
+
+        name = "humanoid_muscle.xml" if use_muscles else "humanoid_torque.xml"
+        xml = REF_ROOT / "environments" / "data" / "humanoid" / name
+
+        models = []
+        joints_rm = None
+        for s in scalings:
+            mj_model, j_rm, _ = _surgery(
+                xml, use_box_feet, disable_arms, alpha_box_feet
+            )
+            _scale_compiled(mj_model, s, use_muscles, use_box_feet)
+            models.append(put_model(mj_model, dtype=dtype))
+            joints_rm = j_rm
+
+        model = models[0]
+        variants = models if len(models) > 1 else None
+
+        if reward_type == "multi_target_velocity":
+            tv = (reward_params or {}).get("target_velocity", 1.25)
+            reward_type = "multi_target_velocity"
+            reward_params = dict(
+                target_velocities=[tv * s for s in DEFAULT_SCALINGS],
+                env_id_len=self._env_id_len,
+            )
+
+        # BaseHumanoid builds obs spec/fall predicate/GRF from the base model
+        super().__init__(
+            use_muscles=use_muscles,
+            use_box_feet=use_box_feet,
+            disable_arms=disable_arms,
+            alpha_box_feet=alpha_box_feet,
+            reward_type=reward_type,
+            reward_params=reward_params,
+            dtype=dtype,
+            _prebuilt=(model, variants, joints_rm),
+            **kwargs,
+        )
+
+    # ---- multi-model hooks ------------------------------------------------
+    def _extra_obs_dim(self):
+        return self._env_id_len
+
+    def _modify_observation(self, obs, state):
+        # binary env-id bits, big-endian (reference _get_env_id_map)
+        idx = (
+            state.env_id
+            if self._fixed_model_idx is None
+            else jnp.asarray(self._fixed_model_idx, jnp.int32)
+        )
+        bits = [
+            ((idx >> (self._env_id_len - 1 - k)) & 1).astype(self.dtype)
+            for k in range(self._env_id_len)
+        ]
+        return jnp.concatenate([obs, jnp.stack(bits)])
+
+    def _reward_info(self, state):
+        info = super()._reward_info(state)
+        if self._fixed_model_idx is not None:
+            info["env_id"] = jnp.asarray(self._fixed_model_idx, jnp.int32)
+        return info
+
+    def _traj_range(self, env_id):
+        if self.traj is None or self.n_variants == 1:
+            return 0, None
+        per = self.traj.n_traj // self.n_variants
+        return env_id * per, (env_id + 1) * per
+
+    # ---- factory ----------------------------------------------------------
+    @classmethod
+    def _generate_4ages(cls, path, task, mode, dataset_type, debug, use_muscles,
+                        **kwargs):
+        suffix = {"all": "_all.npz", "1": "_1.npz", "2": "_2.npz",
+                  "3": "_3.npz", "4": "_4.npz"}[mode]
+        scaling = {"all": None, "1": 0.4, "2": 0.6, "3": 0.8, "4": 1.0}[mode]
+        if dataset_type == "perfect":
+            raise NotImplementedError(
+                "perfect datasets land with the dataset toolchain milestone"
+            )
+        local = path + suffix
+        full = REF_ROOT / local
+        if debug or not full.exists():
+            parts = local.split("/")
+            parts.insert(3, "mini_datasets")
+            full = REF_ROOT / "/".join(parts)
+        if "reward_params" not in kwargs:
+            kwargs["reward_params"] = dict(
+                target_velocity=1.25 if task == "walk" else 2.5
+            )
+        traj_params = dict(
+            traj_path=str(full), traj_dt=1.0 / 500, control_dt=0.01
+        )
+        return cls(
+            scaling=scaling, use_muscles=use_muscles, traj_params=traj_params,
+            **kwargs,
+        )
+
+
+@register
+class HumanoidTorque4Ages(BaseHumanoid4Ages):
+    valid_task_confs = ValidTaskConf(
+        tasks=["walk", "run"],
+        modes=["all", "1", "2", "3", "4"],
+        data_types=["real", "perfect"],
+    )
+
+    @staticmethod
+    def generate(task="walk", mode="all", dataset_type="real", debug=False,
+                 **kwargs):
+        check_validity_task_mode_dataset(
+            "HumanoidTorque4Ages", task, mode, dataset_type,
+            *HumanoidTorque4Ages.valid_task_confs.get_all(),
+        )
+        path = (
+            "datasets/humanoids/real/02-constspeed_reduced_humanoid_POMDP"
+            if task == "walk"
+            else "datasets/humanoids/real/05-run_reduced_humanoid_POMDP"
+        )
+        return HumanoidTorque4Ages._generate_4ages(
+            path, task, mode, dataset_type, debug, use_muscles=False, **kwargs
+        )
+
+
+@register
+class HumanoidMuscle4Ages(BaseHumanoid4Ages):
+    valid_task_confs = ValidTaskConf(
+        tasks=["walk", "run"],
+        modes=["all", "1", "2", "3", "4"],
+        data_types=["real", "perfect"],
+        non_combinable=[("run", None, "perfect")],
+    )
+
+    @staticmethod
+    def generate(task="walk", mode="all", dataset_type="real", debug=False,
+                 **kwargs):
+        check_validity_task_mode_dataset(
+            "HumanoidMuscle4Ages", task, mode, dataset_type,
+            *HumanoidMuscle4Ages.valid_task_confs.get_all(),
+        )
+        path = (
+            "datasets/humanoids/real/02-constspeed_reduced_humanoid_POMDP"
+            if task == "walk"
+            else "datasets/humanoids/real/05-run_reduced_humanoid_POMDP"
+        )
+        return HumanoidMuscle4Ages._generate_4ages(
+            path, task, mode, dataset_type, debug, use_muscles=True, **kwargs
+        )

@@ -75,6 +75,8 @@ def contact_groups(model: Model):
         model.pair_geom2.tobytes(),
         model.pair_condim.tobytes(),
         model.geom_type.tobytes(),
+        model.contact_k_plane,
+        model.contact_k_other,
     )
     hit = _GROUP_CACHE.get(key)
     if hit is not None:
@@ -96,7 +98,10 @@ def contact_groups(model: Model):
     for (t1, t2, condim), ids in sorted(by_key.items()):
         ids = np.asarray(ids, dtype=np.int32)
         is_plane = t1 == _PLANE
-        k = min(DEFAULT_K_PLANE if is_plane else DEFAULT_K_OTHER, len(ids))
+        k = min(
+            model.contact_k_plane if is_plane else model.contact_k_other,
+            len(ids),
+        )
         slots = SLOTS[(t1, t2)]
         groups.append(Group(t1, t2, condim, ids, k, slots, offset))
         offset += k * slots
@@ -450,10 +455,31 @@ def collision(model: Model, data: Data) -> Data:
         pid = g.pair_ids
         pg1 = model.pair_geom1[pid]
         pg2 = model.pair_geom2[pid]
-        # midphase
+        # midphase: for plane groups use the EXACT support distance of the
+        # second geom (cheap per type) — a bounding-radius bound is far too
+        # loose for long cylinders/capsules and mis-ranks the top-K
+        # selection against small geoms that actually touch
         if g.t1 == _PLANE:
             n = gxm[pg1][:, :, 2]
-            mid = jnp.sum(n * (gxp[pg2] - gxp[pg1]), axis=-1) - rbound[pg2]
+            h = jnp.sum(n * (gxp[pg2] - gxp[pg1]), axis=-1)
+            sz = model.geom_size[pg2]
+            if g.t2 == _SPHERE:
+                supp = sz[:, 0]
+            elif g.t2 == _CAPSULE:
+                ca = jnp.abs(jnp.sum(n * gxm[pg2][:, :, 2], axis=-1))
+                supp = sz[:, 1] * ca + sz[:, 0]
+            elif g.t2 == _CYLINDER:
+                ca = jnp.abs(jnp.sum(n * gxm[pg2][:, :, 2], axis=-1))
+                supp = sz[:, 1] * ca + sz[:, 0] * jnp.sqrt(
+                    jnp.maximum(1.0 - ca * ca, 0.0)
+                )
+            elif g.t2 == _BOX:
+                # sum of |n . axis_i| * size_i
+                proj = jnp.abs(jnp.einsum("ki,kij->kj", n, gxm[pg2]))
+                supp = jnp.sum(proj * sz, axis=-1)
+            else:  # mesh: bounding radius
+                supp = rbound[pg2]
+            mid = h - supp
         else:
             mid = (
                 jnp.linalg.norm(gxp[pg2] - gxp[pg1], axis=-1)

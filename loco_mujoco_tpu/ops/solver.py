@@ -281,7 +281,9 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
         jv = J @ dx
         g0 = dx @ mx
         h0 = dx @ (M @ dx)
-        return jar, grad, dx, jv, g0, h0
+        # phi'(0) = grad . dx = g0 - f(jar) . jv (the force term matters!)
+        d0 = g0 - jnp.dot(q.force, jv)
+        return jar, grad, dx, jv, g0, h0, d0
 
     def phi_prime(jar, jv, g0, h0, a):
         """phi'(a) — one fused constraint-row pass (no curvature)."""
@@ -317,9 +319,9 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
         # unrolled safeguarded-secant steps on phi' (phi is convex, so any
         # point with phi' < 0 on [0, a] is a descent point).
         def iteration_fast(_, x):
-            jar, grad, dx, jv, g0, h0 = newton_direction(x)
+            jar, grad, dx, jv, g0, h0, d0 = newton_direction(x)
             lo = jnp.zeros((), dtype=dtype)
-            dlo = g0  # phi'(0) = grad . dx  (= -dx H dx < 0)
+            dlo = d0  # phi'(0) < 0 (descent direction)
             hi = jnp.zeros((), dtype=dtype)
             dhi = jnp.ones((), dtype=dtype)
             has_hi = jnp.asarray(False)
@@ -348,9 +350,9 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
 
         def iteration(state):
             x, prev_cost, it, done = state
-            jar, grad, dx, jv, g0, h0 = newton_direction(x)
+            jar, grad, dx, jv, g0, h0, d0 = newton_direction(x)
 
-            d_lo = g0
+            d_lo = d0
 
             def grow_body(gs):
                 hi, d_hi, k = gs

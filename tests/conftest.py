@@ -14,10 +14,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the parity suite jit-compiles the full pipeline
-# for 8 robot models; caching across runs cuts suite time drastically
-jax.config.update("jax_compilation_cache_dir", "/tmp/lmt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: do not enable jax_compilation_cache_dir here — the executable
+# serializer segfaults intermittently on this CPU backend (observed in
+# jax 0.9 compilation_cache.put_executable_and_time). Compile times are
+# kept manageable by the lax.scan tree recursions instead.
 # The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to CPU so
 # parity tests run in float64 (TPU has no native f64).
 jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])

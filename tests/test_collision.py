@@ -142,7 +142,7 @@ def test_pair_narrowphase(g1, g2, s1, s2):
         mj_data = mujoco.MjData(mj_model)
         mujoco.mj_forward(mj_model, mj_data)
 
-        model = put_model(mj_model, dtype=jnp.float64)
+        model = put_model(mj_model, dtype=jnp.float64, contact_k_plane=32, contact_k_other=8)
         data = make_data(model)
         if mj_data.ncon:
             hits += 1
@@ -152,7 +152,7 @@ def test_pair_narrowphase(g1, g2, s1, s2):
 
 def test_humanoid_feet_on_plane(ref_data_dir):
     mj_model = load_mj_model(f"{ref_data_dir}/humanoid/humanoid_torque.xml")
-    model = put_model(mj_model, dtype=jnp.float64)
+    model = put_model(mj_model, dtype=jnp.float64, contact_k_plane=32, contact_k_other=8)
     mj_data = mujoco.MjData(mj_model)
     rng = np.random.default_rng(11)
     for trial in range(5):
@@ -166,7 +166,7 @@ def test_humanoid_feet_on_plane(ref_data_dir):
 
 def test_a1_feet_on_plane(ref_data_dir):
     mj_model = load_mj_model(f"{ref_data_dir}/quadrupeds/unitree_a1_torque.xml")
-    model = put_model(mj_model, dtype=jnp.float64)
+    model = put_model(mj_model, dtype=jnp.float64, contact_k_plane=32, contact_k_other=8)
     mj_data = mujoco.MjData(mj_model)
     rng = np.random.default_rng(12)
     for trial in range(5):
