@@ -25,6 +25,48 @@ import numpy as np
 from scipy import interpolate
 
 
+def load_dataset_and_get_traj_files(dataset_path, keys, freq=None):
+    """Convert a perfect/preference dataset (states/actions/absorbing/last
+    arrays) into per-key trajectory files — port of reference
+    base.py:499-549. The first two keys are the global x/y positions, which
+    perfect datasets omit; when `freq` is given they are re-integrated from
+    the matching velocity columns, else zero-filled.
+
+    Returns a dict usable as TrajectoryData(traj_files=...).
+    """
+    dataset = np.load(str(dataset_path), allow_pickle=True)
+    states = np.atleast_2d(dataset["states"])
+    last = dataset["last"] if "last" in dataset else None
+
+    num = len(states)
+    out = {}
+    for i, key in enumerate(keys):
+        if i < 2:
+            if freq is None:
+                data = np.zeros(num)
+            else:
+                dt = 1.0 / float(freq)
+                vel_idx = keys.index("d" + key) - 2
+                data = [0.0]
+                for j, v in enumerate(states[:-1, vel_idx], 1):
+                    if last is not None and last[j - 1] == 1:
+                        data.append(0.0)
+                    else:
+                        data.append(data[-1] + dt * v)
+                data = np.asarray(data)
+        else:
+            data = states[:, i - 2]
+        out[key] = data
+
+    if last is not None and num > 2:
+        out["split_points"] = np.concatenate(
+            [[0], np.squeeze(np.argwhere(last == 1) + 1)]
+        )
+    if "actions" in dataset:
+        out["actions"] = np.asarray(dataset["actions"])
+    return out
+
+
 class TrajectoryData:
     def __init__(
         self,

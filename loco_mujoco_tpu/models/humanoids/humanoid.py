@@ -251,6 +251,24 @@ class BaseHumanoid(LocoEnv):
         ]
         return jnp.concatenate(parts).astype(self.dtype)
 
+    def load_trajectory(self, traj_params, warn=True):
+        """Load/replace trajectories post-construction (base.py:145-168)."""
+        keys = [f"q_{j}" for j in self.joints] + [f"dq_{j}" for j in self.joints]
+        jr = np.asarray(self.model.jnt_range)
+        jmap = self.model.names["joint"]
+        low = np.array([jr[jmap[j], 0] for j in self.joints[2:]])
+        high = np.array([jr[jmap[j], 1] for j in self.joints[2:]])
+        self.traj = TrajectoryData(
+            keys,
+            [1] * len(keys),
+            low=low,
+            high=high,
+            joint_pos_idx=list(range(len(self.joints))),
+            dtype=self.dtype,
+            warn=warn,
+            **traj_params,
+        )
+
     def _dataset_ignore_keys(self):
         # base_humanoid.py:66-85 — global x/y dropped from IL datasets
         return ["q_pelvis_tx", "q_pelvis_tz"]
@@ -268,9 +286,23 @@ class BaseHumanoid(LocoEnv):
             parts.insert(3, "mini_datasets")
             full = REF_ROOT / "/".join(parts)
         if dataset_type == "perfect":
-            raise NotImplementedError(
-                "perfect-dataset loading lands with the dataset toolchain"
+            from ...datasets.trajectory import load_dataset_and_get_traj_files
+
+            env = cls(**kwargs)
+            if not full.exists():
+                raise FileNotFoundError(
+                    f"perfect dataset not found at {full}; download the "
+                    "datasets first (loco-mujoco-download-perfect)"
+                )
+            keys = [f"q_{j}" for j in env.joints] + [
+                f"dq_{j}" for j in env.joints
+            ]
+            traj_files = load_dataset_and_get_traj_files(full, keys, freq=100)
+            env.load_trajectory(
+                dict(traj_files=traj_files, traj_dt=0.01, control_dt=0.01),
+                warn=False,
             )
+            return env
         traj_params = dict(
             traj_path=str(full), traj_dt=1.0 / 500, control_dt=0.01
         )
@@ -291,11 +323,24 @@ class HumanoidTorque(BaseHumanoid):
             "HumanoidTorque", task, None, dataset_type,
             *HumanoidTorque.valid_task_confs.get_all(),
         )
-        path = (
-            "datasets/humanoids/real/02-constspeed_reduced_humanoid.npz"
-            if task == "walk"
-            else "datasets/humanoids/real/05-run_reduced_humanoid.npz"
-        )
+        if dataset_type == "perfect":
+            # perfect data was recorded with the default morphology
+            # (humanoids.py:304-315)
+            for k, v in (("use_foot_forces", False), ("disable_arms", True),
+                         ("use_box_feet", True)):
+                if k in kwargs:
+                    assert kwargs[k] is v
+            path = (
+                "datasets/humanoids/perfect/humanoid_torque_walk/perfect_expert_dataset_det.npz"
+                if task == "walk"
+                else "datasets/humanoids/perfect/humanoid_torque_run/perfect_expert_dataset_det.npz"
+            )
+        else:
+            path = (
+                "datasets/humanoids/real/02-constspeed_reduced_humanoid.npz"
+                if task == "walk"
+                else "datasets/humanoids/real/05-run_reduced_humanoid.npz"
+            )
         return HumanoidTorque._generate(
             path, task, dataset_type, debug, use_muscles=False, **kwargs
         )
@@ -318,11 +363,18 @@ class HumanoidMuscle(BaseHumanoid):
             "HumanoidMuscle", task, None, dataset_type,
             *HumanoidMuscle.valid_task_confs.get_all(),
         )
-        path = (
-            "datasets/humanoids/real/02-constspeed_reduced_humanoid.npz"
-            if task == "walk"
-            else "datasets/humanoids/real/05-run_reduced_humanoid.npz"
-        )
+        if dataset_type == "perfect":
+            for k, v in (("use_foot_forces", False), ("disable_arms", True),
+                         ("use_box_feet", True)):
+                if k in kwargs:
+                    assert kwargs[k] is v
+            path = "datasets/humanoids/perfect/humanoid_muscle_walk/perfect_expert_dataset_det.npz"
+        else:
+            path = (
+                "datasets/humanoids/real/02-constspeed_reduced_humanoid.npz"
+                if task == "walk"
+                else "datasets/humanoids/real/05-run_reduced_humanoid.npz"
+            )
         return HumanoidMuscle._generate(
             path, task, dataset_type, debug, use_muscles=True, **kwargs
         )

@@ -184,13 +184,9 @@ class BaseHumanoid4Ages(BaseHumanoid):
         suffix = {"all": "_all.npz", "1": "_1.npz", "2": "_2.npz",
                   "3": "_3.npz", "4": "_4.npz"}[mode]
         scaling = {"all": None, "1": 0.4, "2": 0.6, "3": 0.8, "4": 1.0}[mode]
-        if dataset_type == "perfect":
-            raise NotImplementedError(
-                "perfect datasets land with the dataset toolchain milestone"
-            )
         local = path + suffix
         full = REF_ROOT / local
-        if debug or not full.exists():
+        if dataset_type == "real" and (debug or not full.exists()):
             parts = local.split("/")
             parts.insert(3, "mini_datasets")
             full = REF_ROOT / "/".join(parts)
@@ -198,6 +194,25 @@ class BaseHumanoid4Ages(BaseHumanoid):
             kwargs["reward_params"] = dict(
                 target_velocity=1.25 if task == "walk" else 2.5
             )
+        if dataset_type == "perfect":
+            # base_humanoid_4_ages.py:449-457 — datasets at control rate
+            from ...datasets.trajectory import load_dataset_and_get_traj_files
+
+            env = cls(scaling=scaling, use_muscles=use_muscles, **kwargs)
+            if not full.exists():
+                raise FileNotFoundError(
+                    f"perfect dataset not found at {full}; download the "
+                    "datasets first (loco-mujoco-download-perfect)"
+                )
+            keys = [f"q_{j}" for j in env.joints] + [
+                f"dq_{j}" for j in env.joints
+            ]
+            traj_files = load_dataset_and_get_traj_files(full, keys, freq=100)
+            env.load_trajectory(
+                dict(traj_files=traj_files, traj_dt=0.01, control_dt=0.01),
+                warn=False,
+            )
+            return env
         traj_params = dict(
             traj_path=str(full), traj_dt=1.0 / 500, control_dt=0.01
         )
@@ -222,11 +237,21 @@ class HumanoidTorque4Ages(BaseHumanoid4Ages):
             "HumanoidTorque4Ages", task, mode, dataset_type,
             *HumanoidTorque4Ages.valid_task_confs.get_all(),
         )
-        path = (
-            "datasets/humanoids/real/02-constspeed_reduced_humanoid_POMDP"
-            if task == "walk"
-            else "datasets/humanoids/real/05-run_reduced_humanoid_POMDP"
-        )
+        if dataset_type == "perfect":
+            # humanoids.py:878-890
+            path = (
+                "datasets/humanoids/perfect/humanoid4ages_torque_walk/"
+                "HumanoidTorque4Ages_walk_stochastic_dataset"
+                if task == "walk"
+                else "datasets/humanoids/perfect/humanoid4ages_torque_run/"
+                "HumanoidTorque4Ages_run_stochastic_dataset"
+            )
+        else:
+            path = (
+                "datasets/humanoids/real/02-constspeed_reduced_humanoid_POMDP"
+                if task == "walk"
+                else "datasets/humanoids/real/05-run_reduced_humanoid_POMDP"
+            )
         return HumanoidTorque4Ages._generate_4ages(
             path, task, mode, dataset_type, debug, use_muscles=False, **kwargs
         )

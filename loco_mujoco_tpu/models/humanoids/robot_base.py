@@ -129,21 +129,11 @@ class RobotHumanoid(LocoEnv):
             reward_type, reward_params, dict(x_vel_idx=x_vel_idx)
         )
 
+        self._traj_opts = traj_opts or {}
+        self._traj_model = model
         traj_data = None
         if traj_params is not None:
-            jr = np.asarray(model.jnt_range)
-            jmap = model.names["joint"]
-            low = np.array([jr[jmap[j], 0] for j in joints[2:]])
-            high = np.array([jr[jmap[j], 1] for j in joints[2:]])
-            traj_data = TrajectoryData(
-                keys,
-                [1] * len(keys),
-                low=low,
-                high=high,
-                joint_pos_idx=list(range(len(joints))),
-                dtype=dtype,
-                **{**(traj_opts or {}), **traj_params},
-            )
+            traj_data = self._make_traj(model, joints, keys, traj_params, dtype)
 
         super().__init__(
             model,
@@ -162,6 +152,31 @@ class RobotHumanoid(LocoEnv):
             np.asarray([gmap[g] for g in geoms]) for geoms in foot_groups
         ]
         self._elliptic_cone = False
+
+    def _make_traj(self, model, joints, keys, traj_params, dtype):
+        jr = np.asarray(model.jnt_range)
+        jmap = model.names["joint"]
+        low = np.array([jr[jmap[j], 0] for j in joints[2:]])
+        high = np.array([jr[jmap[j], 1] for j in joints[2:]])
+        return TrajectoryData(
+            keys,
+            [1] * len(keys),
+            low=low,
+            high=high,
+            joint_pos_idx=list(range(len(joints))),
+            dtype=dtype,
+            **{**self._traj_opts, **traj_params},
+        )
+
+    def load_trajectory(self, traj_params, warn=True):
+        """Load (or replace) trajectories after construction — reference
+        LocoEnv.load_trajectory (base.py:145-168)."""
+        keys = [f"q_{j}" for j in self.joints] + [f"dq_{j}" for j in self.joints]
+        if not warn:
+            traj_params = dict(traj_params, warn=False)
+        self.traj = self._make_traj(
+            self._traj_model, self.joints, keys, traj_params, self.dtype
+        )
 
     def _extra_obs_dim(self):
         return 1 if self.hold_weight else 0
@@ -201,15 +216,36 @@ class RobotHumanoid(LocoEnv):
             )
         if task == "carry":
             kwargs["hold_weight"] = True
-        if dataset_type == "perfect":
-            raise NotImplementedError(
-                "perfect datasets land with the dataset toolchain milestone"
-            )
         full = REF_ROOT / path
         if debug or not full.exists():
             parts = path.split("/")
             parts.insert(3, "mini_datasets")
             full = REF_ROOT / "/".join(parts)
+
+        if dataset_type == "perfect":
+            # action-bearing expert dataset at control rate; global x/y are
+            # re-integrated from velocities (base_robot_humanoid.py:224-235)
+            from ...datasets.trajectory import load_dataset_and_get_traj_files
+
+            env = cls(**kwargs)
+            if not full.exists():
+                raise FileNotFoundError(
+                    f"perfect dataset not found at {full}; download the "
+                    "datasets first (loco-mujoco-download-perfect)"
+                )
+            keys = [f"q_{j}" for j in env.joints] + [
+                f"dq_{j}" for j in env.joints
+            ]
+            traj_files = load_dataset_and_get_traj_files(full, keys, freq=100)
+            env.load_trajectory(
+                dict(
+                    traj_files=traj_files, traj_dt=0.01, control_dt=0.01,
+                    clip_trajectory_to_joint_ranges=clip_trajectory_to_joint_ranges,
+                ),
+                warn=False,
+            )
+            return env
+
         traj_params = dict(
             traj_path=str(full),
             traj_dt=1.0 / 500,

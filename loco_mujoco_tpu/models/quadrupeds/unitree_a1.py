@@ -227,6 +227,63 @@ class UnitreeA1(LocoEnv):
             **traj_params,
         )
 
+    def load_trajectory(self, traj_params, warn=True):
+        """Load/replace trajectories post-construction (base.py:145-168)."""
+        if not warn:
+            traj_params = dict(traj_params, warn=False)
+        self.traj = self._load_traj(
+            self.model, self.obs_index, traj_params, self.dtype
+        )
+
+    def load_dataset_and_get_traj_files(self, dataset_path, freq=None):
+        """Perfect-dataset conversion with the A1's dir-arrow handling
+        (unitreeA1.py:354-418): the dataset stores the goal as cos/sin
+        columns; rebuild the 9-dim rotation matrix and a constant
+        goal_speed from the mean trunk speed."""
+        dataset = np.load(str(dataset_path), allow_pickle=True)
+        states = np.atleast_2d(dataset["states"])
+        last = dataset["last"] if "last" in dataset else None
+        keys = [k for k, *_ in _obs_spec()]
+        num = len(states)
+        out = {}
+        for i, key in enumerate(keys):
+            if i < 2:
+                if freq is None:
+                    data = np.zeros(num)
+                else:
+                    dt = 1.0 / float(freq)
+                    vel_idx = keys.index("d" + key) - 2
+                    data = [0.0]
+                    for j, v in enumerate(states[:-1, vel_idx], 1):
+                        if last is not None and last[j - 1] == 1:
+                            data.append(0.0)
+                        else:
+                            data.append(data[-1] + dt * v)
+                    data = np.asarray(data)
+            elif key == "dir_arrow":
+                sin_cos = states[:, i - 2:i]
+                angle = np.arctan2(sin_cos[:, 1], sin_cos[:, 0])
+                data = np.stack(
+                    [um.angle2mat_xy(a).reshape(9) for a in angle]
+                )
+                vels = np.stack(
+                    [
+                        states[:, keys.index("dq_trunk_tx") - 2],
+                        states[:, keys.index("dq_trunk_ty") - 2],
+                    ],
+                    axis=1,
+                )
+                speed = np.linalg.norm(vels, axis=1)
+                out["goal_speed"] = np.mean(speed) * np.ones_like(speed)
+            else:
+                data = states[:, i - 2]
+            out[key] = data
+        if last is not None and num > 2:
+            out["split_points"] = np.concatenate(
+                [[0], np.squeeze(np.argwhere(last == 1) + 1)]
+            )
+        return out
+
     # ------------------------------------------------------------------
     @staticmethod
     def generate(task="simple", dataset_type="real", debug=False, **kwargs):
@@ -253,17 +310,32 @@ class UnitreeA1(LocoEnv):
             parts.insert(3, "mini_datasets")
             full = REF_ROOT / "/".join(parts)
 
-        traj_data_freq = 500 if dataset_type == "real" else 100
+        if dataset_type == "perfect":
+            # perfect data was recorded at the control rate with the
+            # default config (unitreeA1.py:697-707)
+            if "use_foot_forces" in kwargs:
+                assert kwargs["use_foot_forces"] is False
+            if "action_mode" in kwargs:
+                assert kwargs["action_mode"] == "torque"
+            if "default_target_velocity" in kwargs:
+                assert kwargs["default_target_velocity"] == 0.5
+            env = UnitreeA1(**kwargs)
+            if not full.exists():
+                raise FileNotFoundError(
+                    f"perfect dataset not found at {full}; download the "
+                    "datasets first (loco-mujoco-download-perfect)"
+                )
+            traj_files = env.load_dataset_and_get_traj_files(full, freq=100)
+            env.load_trajectory(
+                dict(traj_files=traj_files, traj_dt=0.01, control_dt=0.01),
+                warn=False,
+            )
+            return env
         traj_params = dict(
             traj_path=str(full),
-            traj_dt=1.0 / traj_data_freq,
+            traj_dt=1.0 / 500,
             control_dt=0.01,
         )
-        if dataset_type == "perfect":
-            raise NotImplementedError(
-                "perfect-dataset loading (velocity-integrated x/y) lands "
-                "with the dataset toolchain milestone"
-            )
         return UnitreeA1(traj_params=traj_params, **kwargs)
 
 
