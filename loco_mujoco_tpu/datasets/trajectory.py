@@ -85,6 +85,7 @@ class TrajectoryData:
         interpolate_map_params: dict | None = None,
         interpolate_remap_params: dict | None = None,
         clip_trajectory_to_joint_ranges: bool = False,
+        traj_info: Sequence | None = None,
         warn: bool = True,
         dtype=jnp.float32,
     ):
@@ -146,14 +147,27 @@ class TrajectoryData:
         else:
             split_points = np.array([0, n_samples])
 
-        # per-key arrays split into (n_traj, len, dim)
+        # per-key arrays split into (n_traj, len, dim); unequal-length
+        # trajectories (preference-dataset concatenation,
+        # base_robot_humanoid.py:231-256) are padded with their last sample
+        # to the max length and the true lengths kept for sampling
+        lens = np.diff(split_points)
+        max_len = int(lens.max())
+        self.traj_lengths = lens.astype(int)
         per_key = []
         for k, dim in zip(keys, key_dims):
             v = np.asarray(files[k], dtype=np.float64)
             v = v.reshape(n_samples, -1)
             parts = np.split(v, split_points[1:-1])
-            lens = {len(p) for p in parts}
-            assert len(lens) == 1, "only equal-length trajectories supported"
+            if len(set(lens)) > 1:
+                parts = [
+                    np.concatenate(
+                        [p, np.repeat(p[-1:], max_len - len(p), axis=0)]
+                    )
+                    if len(p) < max_len
+                    else p
+                    for p in parts
+                ]
             per_key.append(np.stack(parts))  # (n_traj, len, dim)
 
         self.traj_dt = traj_dt
@@ -170,6 +184,18 @@ class TrajectoryData:
 
         self.n_traj = per_key[0].shape[0]
         self.traj_len = per_key[0].shape[1]
+        if traj_info is not None:
+            assert len(traj_info) == self.n_traj, (
+                "need one trajectory info/label per trajectory"
+            )
+        self.traj_info = list(traj_info) if traj_info is not None else None
+        # interpolation rescales lengths with the dt ratio
+        self.traj_lengths = np.minimum(
+            np.round(self.traj_lengths * (traj_dt / control_dt)).astype(int),
+            self.traj_len,
+        )
+        self._lens_j = jnp.asarray(self.traj_lengths)
+        self._equal_lens = bool(np.all(self.traj_lengths == self.traj_len))
         flat = np.concatenate(per_key, axis=-1)  # (n_traj, T, sample_dim)
         self.sample_dim = flat.shape[-1]
         self.flat_np = flat
@@ -221,7 +247,12 @@ class TrajectoryData:
         traj_no = traj_lo + jax.random.randint(
             k1, (), 0, jnp.asarray(traj_hi) - traj_lo
         )
-        step = jax.random.randint(k2, (), 0, self.traj_len)
+        hi = (
+            self.traj_len
+            if self._equal_lens
+            else self._lens_j[traj_no]
+        )
+        step = jax.random.randint(k2, (), 0, hi)
         sample = self.flat[traj_no, step]
         for c in xy_cols:
             sample = sample.at[c].set(0.0)
@@ -254,22 +285,32 @@ class TrajectoryData:
                 self.n_traj, self.traj_len, -1
             )
 
-        new_states = np.concatenate(states_per_traj[:, :-1])
-        new_next = np.concatenate(states_per_traj[:, 1:])
+        # respect true per-trajectory lengths (padding excluded)
+        new_states = np.concatenate(
+            [states_per_traj[t, : self.traj_lengths[t] - 1]
+             for t in range(self.n_traj)]
+        )
+        new_next = np.concatenate(
+            [states_per_traj[t, 1: self.traj_lengths[t]]
+             for t in range(self.n_traj)]
+        )
         absorbing = np.zeros(len(new_states))
         last = np.concatenate(
             [
-                np.concatenate([np.zeros(self.traj_len - 2), [1.0]])
-                for _ in range(self.n_traj)
+                np.concatenate([np.zeros(self.traj_lengths[t] - 2), [1.0]])
+                for t in range(self.n_traj)
             ]
         )
         out = dict(
             states=new_states, next_states=new_next, absorbing=absorbing,
             last=last,
         )
+        if traj_info is None:
+            traj_info = self.traj_info
         if traj_info is not None:
-            info = np.array(
-                [[l] * self.traj_len for l in traj_info]
-            ).reshape(-1)
+            info = np.concatenate(
+                [[l] * (self.traj_lengths[t] - 1)
+                 for t, l in enumerate(traj_info)]
+            )
             out["info"] = info
         return out

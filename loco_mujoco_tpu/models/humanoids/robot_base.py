@@ -246,6 +246,50 @@ class RobotHumanoid(LocoEnv):
             )
             return env
 
+        if dataset_type == "preference":
+            # directory of labelled expert datasets, concatenated with
+            # offset split points and a per-trajectory label drawn from the
+            # filename (base_robot_humanoid.py:231-256)
+            from ...datasets.trajectory import load_dataset_and_get_traj_files
+            import os
+
+            env = cls(**kwargs)
+            if not full.is_dir():
+                raise FileNotFoundError(
+                    f"preference dataset dir not found at {full}; download "
+                    "the datasets first"
+                )
+            keys = [f"q_{j}" for j in env.joints] + [
+                f"dq_{j}" for j in env.joints
+            ]
+            infos = []
+            all_tf = None
+            for i, fname in enumerate(sorted(next(os.walk(full))[2])):
+                tf = load_dataset_and_get_traj_files(
+                    full / fname, keys, freq=100
+                )
+                if all_tf is None:
+                    all_tf = tf
+                else:
+                    for k in tf:
+                        if k == "split_points":
+                            all_tf[k] = np.concatenate(
+                                [all_tf[k], tf[k][1:] + all_tf[k][-1]]
+                            )
+                        else:
+                            all_tf[k] = np.concatenate([all_tf[k], tf[k]])
+                label = fname.split(".")[0].split("_")[-2]
+                infos += [label] * (len(tf["split_points"]) - 1)
+            env.load_trajectory(
+                dict(
+                    traj_files=all_tf, traj_dt=0.01, control_dt=0.01,
+                    traj_info=infos,
+                    clip_trajectory_to_joint_ranges=clip_trajectory_to_joint_ranges,
+                ),
+                warn=False,
+            )
+            return env
+
         traj_params = dict(
             traj_path=str(full),
             traj_dt=1.0 / 500,

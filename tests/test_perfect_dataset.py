@@ -105,3 +105,60 @@ def test_perfect_tasks_raise_cleanly():
     ):
         with pytest.raises(FileNotFoundError):
             lmt.make(task)
+
+
+def test_unequal_trajectories_and_info(tmp_path):
+    """Padding + per-trajectory lengths + labels (preference machinery)."""
+    from loco_mujoco_tpu.datasets.trajectory import TrajectoryData
+
+    T1, T2 = 8, 5
+    files = {
+        "q_x": np.arange(T1 + T2, dtype=float),
+        "q_y": np.zeros(T1 + T2),
+        "q_a": np.ones(T1 + T2),
+        "split_points": np.array([0, T1, T1 + T2]),
+    }
+    td = TrajectoryData(
+        ["q_x", "q_y", "q_a"], [1, 1, 1], traj_files=files,
+        traj_dt=0.01, control_dt=0.01, traj_info=["good", "bad"],
+    )
+    assert td.n_traj == 2 and td.traj_len == 8
+    assert list(td.traj_lengths) == [8, 5]
+    for seed in range(30):
+        _, tn, st = td.sample_reset(jax.random.PRNGKey(seed))
+        assert int(st) < td.traj_lengths[int(tn)]
+    ds = td.create_dataset()
+    assert len(ds["states"]) == (T1 - 1) + (T2 - 1)
+    assert list(ds["info"]) == ["good"] * 7 + ["bad"] * 4
+    assert ds["last"].sum() == 2
+
+
+def test_preference_dataset_generate(tmp_path):
+    """Directory of labelled perfect datasets -> concatenated trajectories
+    with filename-derived labels (base_robot_humanoid.py:231-256)."""
+    import pathlib
+
+    import loco_mujoco_tpu.models.humanoids.robot_base as rb
+    from loco_mujoco_tpu.models.humanoids.unitree_h1 import UnitreeH1
+
+    env = lmt.make("UnitreeH1.walk.real", debug=True)
+    keys = [f"q_{j}" for j in env.joints] + [f"dq_{j}" for j in env.joints]
+    rng = np.random.default_rng(0)
+    for name, T in (("expert_elite_0.npz", 30), ("expert_okay_0.npz", 20)):
+        st = rng.normal(size=(T, len(keys) - 2)) * 0.05
+        last = np.zeros(T)
+        last[T // 2 - 1] = 1
+        last[-1] = 1
+        np.savez(os.path.join(str(tmp_path), name), states=st, last=last)
+
+    old = rb.REF_ROOT
+    rb.REF_ROOT = pathlib.Path(str(tmp_path))
+    try:
+        env2 = UnitreeH1.generate_robot("", task="walk", dataset_type="preference")
+    finally:
+        rb.REF_ROOT = old
+    assert env2.traj.n_traj == 4
+    assert env2.traj.traj_info == ["elite", "elite", "okay", "okay"]
+    ds = env2.create_dataset()
+    assert len(ds["states"]) == 14 + 14 + 9 + 9
+    assert sorted(set(ds["info"])) == ["elite", "okay"]
