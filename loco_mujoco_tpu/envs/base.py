@@ -390,6 +390,12 @@ class LocoEnv:
     def _dataset_ignore_keys(self):
         return []
 
+    def _dataset_state_callback(self):
+        """Optional (callback, params) applied per dataset state so IL
+        datasets match the env's observation layout (unitreeA1.py:320-343
+        runs its _modify_observation_callback here)."""
+        return None, None
+
     def create_dataset(self, ignore_keys=None):
         """Imitation dataset from the loaded trajectories; every state is
         validated against the fall predicate (base.py:278-312)."""
@@ -400,7 +406,11 @@ class LocoEnv:
             )
         if ignore_keys is None:
             ignore_keys = self._dataset_ignore_keys()
-        dataset = self.traj.create_dataset(ignore_keys=ignore_keys)
+        cb, cb_params = self._dataset_state_callback()
+        dataset = self.traj.create_dataset(
+            ignore_keys=ignore_keys, state_callback=cb,
+            state_callback_params=cb_params,
+        )
         fallen = np.asarray(
             jax.vmap(self._has_fallen)(jnp.asarray(dataset["states"]))
         )

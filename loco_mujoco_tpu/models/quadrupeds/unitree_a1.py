@@ -227,6 +227,28 @@ class UnitreeA1(LocoEnv):
             **traj_params,
         )
 
+    def _dataset_ignore_keys(self):
+        # unitreeA1.py:337 — global x/y dropped from IL datasets
+        return ["q_trunk_tx", "q_trunk_ty"]
+
+    def get_kinematic_obs_mask(self):
+        # unitreeA1.py:345-351 — the whole obs (scalars + goal features)
+        return np.arange(self._rot_start + 3)
+
+    def _dataset_state_callback(self):
+        # transform each dataset state to the obs layout: 9-dim dir-arrow
+        # rotmat -> (cos, sin) features + goal speed (unitreeA1.py:722-753)
+        rot_start = self._rot_start
+
+        def cb(state):
+            obs = state[:rot_start]
+            mat = state[rot_start:rot_start + 9].reshape(3, 3)
+            angle = um.transform_angle_2pi(um.mat2angle_xy(mat)) - np.pi / 2
+            feats = [np.cos(angle), np.sin(angle)]
+            return np.concatenate([obs, feats, state[rot_start + 9:]])
+
+        return cb, None
+
     def load_trajectory(self, traj_params, warn=True):
         """Load/replace trajectories post-construction (base.py:145-168)."""
         if not warn:
