@@ -194,8 +194,15 @@ def _mix_pair_params(m: mujoco.MjModel, g1: int, g2: int):
 
 
 def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
-              contact_k_other=4) -> Model:
-    """Extract a compiled MjModel into our JAX Model pytree."""
+              contact_k_other=4, hull_indices=None) -> Model:
+    """Extract a compiled MjModel into our JAX Model pytree.
+
+    hull_indices: optional list of per-mesh-geom vertex index arrays (in
+    geom order, as returned by `hull_vert_indices`) that fixes the convex
+    hull topology — required when building model variants whose numeric
+    mesh vertices differ (4-ages scalings) but whose static hull masks
+    must be identical for leaf stacking.
+    """
 
     def jarr(x):
         return jnp.asarray(np.asarray(x), dtype=dtype)
@@ -229,12 +236,18 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         mid = int(m.geom_dataid[g])
         adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
         verts = np.asarray(m.mesh_vert[adr : adr + num])
-        if num > 16:
+        if hull_indices is not None:
+            # caller-supplied hull topology: model VARIANTS (4-ages
+            # scalings) must share vertex masks (static aux data), and a
+            # uniform scale maps a hull onto the scaled hull exactly —
+            # re-running qhull per variant can pick different vertex sets
+            verts = verts[hull_indices[len(hulls)]]
+        elif num > 16:
             try:
                 from scipy.spatial import ConvexHull
 
                 hull = ConvexHull(verts)
-                verts = verts[hull.vertices]
+                verts = verts[np.sort(hull.vertices)]
             except Exception:
                 pass
         geom_meshid[g] = len(hulls)
@@ -364,7 +377,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         eq_solref=jarr(m.eq_solref),
         eq_solimp=jarr(m.eq_solimp),
         mesh_vert=jarr(mesh_vert),
-        mesh_vertmask=jnp.asarray(mesh_vertmask),
+        mesh_vertmask=np.asarray(mesh_vertmask),
         body_invweight0=jarr(m.body_invweight0),
         dof_invweight0=jarr(m.dof_invweight0),
         tendon_invweight0=jarr(m.tendon_invweight0),
@@ -439,6 +452,29 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         pair_condim=pair_condim,
         names=names,
     )
+
+
+def hull_vert_indices(m: mujoco.MjModel):
+    """Convex-hull vertex index arrays for every mesh geom (in geom order),
+    matching put_model's default hull extraction. Pass to put_model for
+    model variants that must share hull topology."""
+    out = []
+    for g in range(m.ngeom):
+        if int(m.geom_type[g]) != int(GeomType.MESH):
+            continue
+        mid = int(m.geom_dataid[g])
+        adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
+        idx = np.arange(num)
+        if num > 16:
+            try:
+                from scipy.spatial import ConvexHull
+
+                hull = ConvexHull(np.asarray(m.mesh_vert[adr : adr + num]))
+                idx = np.sort(hull.vertices)
+            except Exception:
+                pass
+        out.append(idx)
+    return out
 
 
 def load_model(xml_path: str, dtype=jnp.float32, **kw) -> Model:

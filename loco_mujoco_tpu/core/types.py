@@ -179,7 +179,9 @@ class Model:
     # convex hull vertices for mesh geoms, padded: (nmeshgeom, maxvert, 3),
     # plus validity mask (nmeshgeom, maxvert)
     mesh_vert: jax.Array
-    mesh_vertmask: jax.Array
+    # validity mask is static (hull topology never varies across model
+    # variants) so the collision driver can bucket pairs by vertex count
+    mesh_vertmask: np.ndarray = static_field()
     # precomputed inverse-weights from the host-side compiler (mjModel
     # *_invweight0) — numeric leaves so model VARIANTS (weight carrying,
     # 4-ages scalings, domain randomization) can batch them:

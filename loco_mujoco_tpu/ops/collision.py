@@ -239,13 +239,234 @@ def plane_box(pp, pR, s1, qp, qR, s2, extra):
     )  # (8, 3)
     pts = qp[:, None, :] + jnp.einsum("kij,cj,kj->kci", qR, corners, s2)
     h = jnp.sum(n[:, None, :] * (pts - pp[:, None, :]), axis=-1)  # (k, 8)
-    # four deepest corners
-    _, idx = jax.lax.top_k(-h, 4)
-    dist = jnp.take_along_axis(h, idx, axis=1)
-    pos_c = jnp.take_along_axis(pts, idx[:, :, None], axis=1)
+    # four deepest corners via iterative argmin + one-hot (lax.top_k lowers
+    # to a full sort kernel on TPU — ~100x the cost of these fused selects)
+    iota8 = jnp.arange(8)
+    hm = h
+    hs, ps = [], []
+    for _ in range(4):
+        i = jnp.argmin(hm, axis=1)
+        oh = (iota8[None, :] == i[:, None]).astype(dtype)
+        hs.append(jnp.sum(h * oh, axis=1))
+        ps.append(jnp.einsum("kc,kci->ki", oh, pts))
+        hm = jnp.where(oh > 0, 1e10, hm)
+    dist = jnp.stack(hs, axis=1)
+    pos_c = jnp.stack(ps, axis=1)
     pos = pos_c - n[:, None, :] * (0.5 * dist)[:, :, None]
     frame = jnp.broadcast_to(make_frame(n)[:, None], (k, 4, 3, 3))
     return dist, pos, frame
+
+
+def _plane_mesh_group(model: Model, g: Group, data: Data):
+    """All-pairs plane-mesh narrowphase in MESH-LOCAL coordinates.
+
+    Replaces the gather-then-transform scheme (world-frame vertex clouds of
+    the K selected pairs) with per-pair math against the *static* vertex
+    table: heights h = (R2ᵀn)·v + n·(p2-p1), tangential distances
+    |v-v0|² - (h-h0)² and side extents (R2ᵀn)·((v-v0)×u) are all invariant
+    under the body rotation, so no (env, V, 3) world tensor is ever
+    materialized — the only batched tensors are (P, V) scalar maps that XLA
+    fuses into their reductions. As a bonus the top-K pair selection ranks
+    by the *exact* support distance (deepest-vertex height) instead of a
+    bounding-radius midphase.
+
+    Same contact-selection rule as mjc_PlaneConvex-style manifolds used
+    before: deepest vertex, farthest-in-plane from it, and the two extreme
+    side vertices of that line (within margin). Returns the k selected
+    pairs' slot data: (dist (k,4), pos (k,4,3), frame (k,4,3,3), geom1,
+    geom2, friction, solref, solimp, margin-gap).
+    """
+    dtype = data.qpos.dtype
+    pid = g.pair_ids
+
+    # bucket pairs by hull size: padding every pair to the group-max vertex
+    # count wastes ~4x on typical robots (one 539-vert torso hull vs dozens
+    # of <=128-vert limb hulls), and the all-pairs (P, V) maps are the cost
+    mesh_ids_all = np.maximum(np.asarray(model.geom_meshid), 0)
+    counts = np.asarray(model.mesh_vertmask).sum(1)[mesh_ids_all[
+        model.pair_geom2[pid]]]
+    buckets: list = []
+    for cap in (128, 288, int(np.asarray(model.mesh_vertmask).shape[1])):
+        in_b = counts <= cap
+        if np.any(in_b):
+            buckets.append((cap, pid[in_b]))
+            counts = np.where(in_b, np.iinfo(np.int64).max, counts)
+
+    dist_l, vsel_l, key_l, order = [], [], [], []
+    for cap, bpid in buckets:
+        d_b, v_b, k_b = _plane_mesh_narrow(model, bpid, cap, data)
+        dist_l.append(d_b)
+        vsel_l.append(v_b)
+        key_l.append(k_b)
+        order.append(bpid)
+    dist = jnp.concatenate(dist_l, axis=0)  # (P, 4)
+    vsel = jnp.concatenate(vsel_l, axis=0)  # (P, 4, 3)
+    key = jnp.concatenate(key_l, axis=0)  # (P,)
+    pid = np.concatenate(order)  # bucket-sorted pair order
+
+    pg1 = model.pair_geom1[pid]
+    pg2 = model.pair_geom2[pid]
+    gxp, gxm = data.geom_xpos, data.geom_xmat
+    n = gxm[pg1][:, :, 2]
+    qp, qR = gxp[pg2], gxm[pg2]
+    P = len(pid)
+    dtype = dist.dtype
+
+    # exact-support top-K pair selection (same key as the old midphase, but
+    # with the true deepest-vertex distance instead of rbound). Iterative
+    # argmin + one-hot matmuls instead of lax.top_k + dynamic gathers: the
+    # sort kernel and the per-env gather layout-copies each cost more than
+    # the whole narrowphase.
+    if g.k < P:
+        okey = key
+        ohs = []
+        iota_p = jnp.arange(P)
+        for _ in range(g.k):
+            i = jnp.argmin(okey)
+            oh = (iota_p == i).astype(dtype)
+            ohs.append(oh)
+            okey = jnp.where(oh > 0, 1e10, okey)
+        OH = jnp.stack(ohs)  # (k, P)
+    else:
+        OH = jnp.eye(P, dtype=dtype)
+
+    dist_s = OH @ dist  # (k, 4)
+    vsel_s = jnp.einsum("sp,pfc->sfc", OH, vsel)
+    n_s = OH @ n
+    qp_s = OH @ qp
+    qR_s = jnp.einsum("sp,pij->sij", OH, qR)
+    # static per-pair tables picked through the same one-hot (exact: one
+    # coefficient is 1, the rest 0)
+    def pick(tbl):
+        return OH @ jnp.asarray(tbl, dtype=dtype)
+
+    g1_s = pick(pg1.astype(np.float32)).astype(jnp.int32)
+    g2_s = pick(pg2.astype(np.float32)).astype(jnp.int32)
+    fri_s = pick(model.pair_friction[pid])
+    sref_s = pick(model.pair_solref[pid])
+    simp_s = pick(model.pair_solimp[pid])
+    marg_s = pick(model.pair_margin[pid] - model.pair_gap[pid])
+
+    w = qp_s[:, None, :] + jnp.einsum("kij,ksj->ksi", qR_s, vsel_s)
+    pos = w - n_s[:, None, :] * (0.5 * dist_s)[:, :, None]
+    frame = jnp.broadcast_to(make_frame(n_s)[:, None], (g.k, 4, 3, 3))
+    return dist_s, pos, frame, g1_s, g2_s, fri_s, sref_s, simp_s, marg_s
+
+
+_PALLAS_SELECT_CACHE: dict = {}
+
+
+def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):
+    """Fused plane-mesh selection kernel for this pair bucket, or None when
+    the XLA path must be used (non-TPU backend, f64 parity runs, or traced
+    mesh vertices from stacked model variants)."""
+    if dtype != jnp.float32:
+        return None
+    from . import pallas_collision as pc
+
+    if not pc.pallas_enabled():
+        return None
+    if isinstance(model.mesh_vert, jax.core.Tracer) or isinstance(
+        model.pair_margin, jax.core.Tracer
+    ):
+        return None  # variant-batched meshes: vertices differ per env
+    pg2 = model.pair_geom2[pid]
+    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
+    vraw = np.asarray(model.mesh_vert)[mesh_ids, :vcap]
+    vmask = np.asarray(model.mesh_vertmask)[mesh_ids, :vcap]
+    verts = np.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(
+        np.float32
+    )
+    margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
+    key = (verts.tobytes(), margin.tobytes())
+    fn = _PALLAS_SELECT_CACHE.get(key)
+    if fn is None:
+        fn = pc.make_plane_mesh_select(verts, margin)
+        _PALLAS_SELECT_CACHE[key] = fn
+    return fn
+
+
+def _plane_mesh_narrow(model: Model, pid: np.ndarray, vcap: int, data: Data):
+    """Manifold selection for one bucket of plane-mesh pairs, padded to
+    vcap vertices. Returns (dist (P,4), vsel (P,4,3) mesh-local, key (P,))."""
+    dtype = data.qpos.dtype
+    pg1 = model.pair_geom1[pid]
+    pg2 = model.pair_geom2[pid]
+    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
+
+    # static per-pair vertex tables, padded with vertex 0 (duplicates never
+    # change argmin/argmax selections — they tie with the real vertex 0)
+    vraw = model.mesh_vert[mesh_ids, :vcap]  # (P, V, 3) — static gather
+    vmask = jnp.asarray(model.mesh_vertmask[mesh_ids, :vcap])  # (P, V)
+    verts = jnp.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(dtype)
+    vx, vy, vz = verts[:, :, 0], verts[:, :, 1], verts[:, :, 2]
+
+    gxp, gxm = data.geom_xpos, data.geom_xmat
+    pp, pR = gxp[pg1], gxm[pg1]
+    qp, qR = gxp[pg2], gxm[pg2]
+    n = pR[:, :, 2]  # (P, 3) plane normal
+    a = jnp.einsum("pij,pi->pj", qR, n)  # R2ᵀ n — mesh-local plane normal
+    b = jnp.sum(n * (qp - pp), axis=-1)  # (P,)
+    margin = jnp.asarray(model.pair_margin[pid], dtype=dtype)
+
+    sel_fn = _pallas_select_fn(model, pid, vcap, dtype)
+    if sel_fn is not None:
+        # fused VMEM kernel returns slot depths AND the selected vertex
+        # coordinates (a take_along_axis here lowered to layout-copy storms
+        # costing more than the kernel itself)
+        dist, vsel = sel_fn(a, b)  # (P, 4), (P, 4, 3)
+        return dist, vsel, dist[:, 0] - margin
+
+    big = jnp.asarray(1e10, dtype=dtype)
+    h = a[:, 0:1] * vx + a[:, 1:2] * vy + a[:, 2:3] * vz + b[:, None]  # (P,V)
+
+    i0 = jnp.argmin(h, axis=1)
+    d0 = jnp.min(h, axis=1)
+    V = h.shape[1]
+    iota = jnp.arange(V)
+
+    def take(idx):
+        oh = (iota[None, :] == idx[:, None]).astype(dtype)  # (P, V)
+        vsel = jnp.stack(
+            [jnp.sum(vx * oh, axis=1), jnp.sum(vy * oh, axis=1),
+             jnp.sum(vz * oh, axis=1)], axis=-1)
+        hsel = jnp.sum(h * oh, axis=1)
+        return vsel, hsel
+
+    v0, _ = take(i0)
+    cand = h < margin[:, None]
+
+    dvx, dvy, dvz = vx - v0[:, 0:1], vy - v0[:, 1:2], vz - v0[:, 2:3]
+    dh = h - d0[:, None]
+    dist2 = dvx * dvx + dvy * dvy + dvz * dvz - dh * dh
+    dist2 = jnp.where(cand, dist2, -big)
+    i1 = jnp.argmax(dist2, axis=1)
+    far2 = jnp.max(dist2, axis=1)
+    v1, d1 = take(i1)
+    has1 = far2 > 1e-12
+
+    u = v1 - v0
+    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-15)
+    # cr = a · ((v - v0) × u): side extent of each vertex about the 0-1 line
+    cx = dvy * u[:, 2:3] - dvz * u[:, 1:2]
+    cy = dvz * u[:, 0:1] - dvx * u[:, 2:3]
+    cz = dvx * u[:, 1:2] - dvy * u[:, 0:1]
+    cr = a[:, 0:1] * cx + a[:, 1:2] * cy + a[:, 2:3] * cz
+    cr = jnp.where(cand, cr, 0.0)
+    i2 = jnp.argmax(cr, axis=1)
+    c2 = jnp.max(cr, axis=1)
+    v2, d2 = take(i2)
+    has2 = has1 & (c2 > 1e-10)
+    i3 = jnp.argmin(cr, axis=1)
+    c3 = jnp.min(cr, axis=1)
+    v3, d3 = take(i3)
+    has3 = has1 & (c3 < -1e-10)
+
+    dist = jnp.stack(
+        [d0, jnp.where(has1, d1, big), jnp.where(has2, d2, big),
+         jnp.where(has3, d3, big)], axis=1)  # (P, 4)
+    vsel = jnp.stack([v0, v1, v2, v3], axis=1)  # (P, 4, 3)
+    return dist, vsel, d0 - margin
 
 
 def plane_convex(pp, pR, s1, qp, qR, s2, extra):
@@ -455,6 +676,25 @@ def collision(model: Model, data: Data) -> Data:
         pid = g.pair_ids
         pg1 = model.pair_geom1[pid]
         pg2 = model.pair_geom2[pid]
+
+        if g.t1 == _PLANE and g.t2 == _MESH:
+            (d, p, f, sg1, sg2, fri, sref, simp, marg) = _plane_mesh_group(
+                model, g, data
+            )
+            ks = g.k * g.slots
+            dists.append(d.reshape(ks))
+            poss.append(p.reshape(ks, 3))
+            frames.append(f.reshape(ks, 3, 3))
+            rep = lambda x: jnp.repeat(x, g.slots, axis=0)
+            g1s.append(rep(sg1))
+            g2s.append(rep(sg2))
+            fris.append(rep(fri))
+            srefs.append(rep(sref))
+            simps.append(rep(simp))
+            margins.append(rep(marg))
+            dims.extend([g.condim] * ks)
+            continue
+
         # midphase: for plane groups use the EXACT support distance of the
         # second geom (cheap per type) — a bounding-radius bound is far too
         # loose for long cylinders/capsules and mis-ranks the top-K
@@ -505,18 +745,6 @@ def collision(model: Model, data: Data) -> Data:
         margin = model.pair_margin[sel_p]
 
         extra = None
-        if g.t2 == _MESH and g.t1 == _PLANE:
-            mid_ids = np.maximum(model.geom_meshid[pg2], 0)
-            if g.k < len(pid):
-                midx = jnp.asarray(mid_ids)[sel]
-            else:
-                midx = jnp.asarray(mid_ids)
-            extra = (
-                model.mesh_vert[midx],
-                model.mesh_vertmask[midx],
-                margin,
-            )
-
         fn = _NARROW[(g.t1, g.t2)]
         d, p, f = fn(pp, pR, s1, qp, qR, s2, extra)  # (k, s, ...)
 

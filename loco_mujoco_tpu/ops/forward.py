@@ -12,6 +12,8 @@ mj_Euler's eulerdamp path) and RK4 (Atlas: `data/atlas/atlas.xml:65`).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,34 @@ from . import constraint as con_mod
 from . import inertia, kinematics, passive, solver, tendon, velocity
 
 
+import os
+
+_PHYS_PRECISION = os.environ.get("LMT_MATMUL_PRECISION", "highest")
+
+
+def _exact_f32(fn):
+    """Trace the physics stage with full-f32 matmul precision.
+
+    TPU matmuls/einsums truncate f32 inputs to bf16 by default; the mass
+    matrix, constraint Hessian and tree-accumulation matmuls then lose
+    enough mantissa that H = M + J'WJ can go indefinite and the Newton
+    solver diverges (observed: A1 elliptic-cone contacts NaN within 5
+    substeps on-chip). Scoped here rather than via the global flag so user
+    networks keep fast default precision. Override with
+    LMT_MATMUL_PRECISION={default,high,highest} (perf/accuracy knob).
+    """
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        if _PHYS_PRECISION == "default":
+            return fn(*a, **kw)
+        with jax.default_matmul_precision(_PHYS_PRECISION):
+            return fn(*a, **kw)
+
+    return wrapped
+
+
+@_exact_f32
 def fwd_position(model: Model, data: Data) -> Data:
     data = kinematics.kinematics(model, data)
     data = kinematics.com_pos(model, data)
@@ -33,6 +63,7 @@ def fwd_position(model: Model, data: Data) -> Data:
     return data
 
 
+@_exact_f32
 def fwd_velocity(model: Model, data: Data) -> Data:
     data = tendon.tendon_vel(model, data)
     data = velocity.com_vel(model, data)
@@ -41,10 +72,12 @@ def fwd_velocity(model: Model, data: Data) -> Data:
     return data
 
 
+@_exact_f32
 def fwd_actuation(model: Model, data: Data) -> Data:
     return act_mod.actuation(model, data)
 
 
+@_exact_f32
 def fwd_acceleration(model: Model, data: Data) -> Data:
     qfrc_smooth = (
         data.qfrc_passive
@@ -101,11 +134,13 @@ def _dof_body_mask(model: Model) -> np.ndarray:
     return mask
 
 
+@_exact_f32
 def fwd_constraint(model: Model, data: Data) -> Data:
     efc = con_mod.make_constraint(model, data)
     return solver.solve(model, data, efc)
 
 
+@_exact_f32
 def forward(model: Model, data: Data) -> Data:
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
@@ -197,6 +232,7 @@ def _rk4(model: Model, data: Data) -> Data:
     )
 
 
+@_exact_f32
 def step(model: Model, data: Data) -> Data:
     """One physics step: forward dynamics then integrate (mj_step)."""
     data = forward(model, data)

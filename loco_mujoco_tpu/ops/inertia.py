@@ -19,12 +19,13 @@ from . import math as m3
 
 def crb(model: Model, data: Data) -> Data:
     """Composite rigid body: dense joint-space mass matrix qM (+ armature)."""
-    # accumulate cinert up the tree (static unrolled backward pass)
-    crb_body = [data.cinert[b] for b in range(model.nbody)]
-    for b in range(model.nbody - 1, 0, -1):
-        pid = int(model.body_parentid[b])
-        crb_body[pid] = crb_body[pid] + crb_body[b]
-    crb_arr = jnp.stack(crb_body)  # (nbody, 10)
+    # accumulate cinert up the tree: one masked matmul against the static
+    # subtree incidence matrix (the unrolled backward pass costs ~nbody
+    # separate add kernels per call on TPU)
+    from .support import body_subtree_mask
+
+    sub = jnp.asarray(body_subtree_mask(model), dtype=data.cinert.dtype)
+    crb_arr = jnp.einsum("ab,bt->at", sub, data.cinert)  # (nbody, 10)
 
     # buf_i = CRB(body of dof i) * cdof_i ;  M[i, j] = cdof_j . buf_i
     buf = m3.inert_mul(crb_arr[model.dof_bodyid], data.cdof)  # (nv, 6)

@@ -35,58 +35,61 @@ def kinematics(model: Model, data: Data) -> Data:
     """
     dtype = data.qpos.dtype
     nb, nj = model.nbody, model.njnt
-    maxj = int(model.body_jntnum.max()) if nj else 0
 
     if not np.all(np.asarray(model.jnt_type) >= int(JointType.SLIDE)):
         raise NotImplementedError("hinge/slide joints only")
 
-    parent = jnp.asarray(model.body_parentid)
-    jadr = jnp.asarray(model.body_jntadr)
-    jnum = jnp.asarray(model.body_jntnum)
-    jtype = jnp.asarray(model.jnt_type)
-    qadr = jnp.asarray(model.jnt_qposadr)
+    parent_np = np.asarray(model.body_parentid)
+    jadr_np = np.asarray(model.body_jntadr)
+    jnum_np = np.asarray(model.body_jntnum)
+    jtype_np = np.asarray(model.jnt_type)
+    qadr_np = np.asarray(model.jnt_qposadr)
 
-    xpos0 = jnp.zeros((nb, 3), dtype=dtype)
-    xquat0 = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
-    xanchor0 = jnp.zeros((max(nj, 1), 3), dtype=dtype)
-    xaxis0 = jnp.zeros((max(nj, 1), 3), dtype=dtype)
+    # level-parallel traversal: all bodies at the same tree depth advance
+    # together with one vectorized update per level (a per-body lax.scan
+    # costs ~nbody sequential kernel groups per call — the FK scan alone
+    # was ~10% of the whole step's device time on TPU)
+    depth = np.zeros(nb, dtype=int)
+    for b in range(1, nb):
+        depth[b] = depth[parent_np[b]] + 1
+    levels = [
+        np.where(depth == L)[0] for L in range(1, int(depth.max()) + 1)
+    ] if nb > 1 else []
 
-    def body_step(carry, b):
-        xpos, xquat, xanchor, xaxis = carry
-        pid = parent[b]
-        pos = xpos[pid] + m3.quat_rotate(xquat[pid], model.body_pos[b])
-        quat = m3.quat_mul(xquat[pid], model.body_quat[b])
+    xpos = jnp.zeros((nb, 3), dtype=dtype)
+    xquat = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nb, 1))
+    xanchor = jnp.zeros((max(nj, 1), 3), dtype=dtype)
+    xaxis = jnp.zeros((max(nj, 1), 3), dtype=dtype)
 
-        for i in range(maxj):
-            j = jadr[b] + i
-            valid = i < jnum[b]
-            js = jnp.clip(j, 0, nj - 1)
+    for bs in levels:
+        pids = parent_np[bs]
+        pos = xpos[pids] + m3.quat_rotate(xquat[pids], model.body_pos[bs])
+        quat = m3.quat_mul(xquat[pids], model.body_quat[bs])
+
+        maxj_l = int(jnum_np[bs].max()) if nj else 0
+        for i in range(maxj_l):
+            valid = jnum_np[bs] > i  # static per-level joint occupancy
+            sel = np.where(valid)[0]  # level-local body rows with joint i
+            js = np.clip(jadr_np[bs[sel]] + i, 0, nj - 1)
             jp = model.jnt_pos[js]
             ja = model.jnt_axis[js]
-            anchor = pos + m3.quat_rotate(quat, jp)
-            axis = m3.quat_rotate(quat, ja)
-            xanchor = xanchor.at[js].set(
-                jnp.where(valid, anchor, xanchor[js])
-            )
-            xaxis = xaxis.at[js].set(jnp.where(valid, axis, xaxis[js]))
-            qd = data.qpos[qadr[js]] - model.qpos0[qadr[js]]
-            is_slide = jtype[js] == int(JointType.SLIDE)
-            pos_slide = pos + axis * qd
-            qloc = m3.axis_angle_to_quat(ja, qd)
-            quat_h = m3.quat_mul(quat, qloc)
+            pos_s, quat_s = pos[sel], quat[sel]
+            anchor = pos_s + m3.quat_rotate(quat_s, jp)
+            axis = m3.quat_rotate(quat_s, ja)
+            xanchor = xanchor.at[js].set(anchor)
+            xaxis = xaxis.at[js].set(axis)
+            qd = (data.qpos[qadr_np[js]] - model.qpos0[qadr_np[js]])[:, None]
+            is_slide = (jtype_np[js] == int(JointType.SLIDE))[:, None]
+            pos_slide = pos_s + axis * qd
+            qloc = m3.axis_angle_to_quat(ja, qd[:, 0])
+            quat_h = m3.quat_mul(quat_s, qloc)
             pos_h = anchor - m3.quat_rotate(quat_h, jp)
-            pos_new = jnp.where(is_slide, pos_slide, pos_h)
-            quat_new = jnp.where(is_slide, quat, quat_h)
-            pos = jnp.where(valid, pos_new, pos)
-            quat = jnp.where(valid, quat_new, quat)
+            pos = pos.at[sel].set(jnp.where(is_slide, pos_slide, pos_h))
+            quat = quat.at[sel].set(jnp.where(is_slide, quat_s, quat_h))
 
-        xpos = xpos.at[b].set(pos)
-        xquat = xquat.at[b].set(quat)
-        return (xpos, xquat, xanchor, xaxis), None
+        xpos = xpos.at[bs].set(pos)
+        xquat = xquat.at[bs].set(quat)
 
-    (xpos, xquat, xanchor, xaxis), _ = jax.lax.scan(
-        body_step, (xpos0, xquat0, xanchor0, xaxis0), jnp.arange(1, nb)
-    )
     if nj == 0:
         xanchor = jnp.zeros((0, 3), dtype=dtype)
         xaxis = jnp.zeros((0, 3), dtype=dtype)
@@ -129,24 +132,15 @@ def com_pos(model: Model, data: Data) -> Data:
     vectors (cdof), matching MuJoCo's mj_comPos conventions."""
     dtype = data.qpos.dtype
 
-    # subtree com: bottom-up mass-weighted average (reverse scan over the
-    # parent-ordered body array — see kinematics() for why not unrolled)
+    # subtree com: bottom-up mass-weighted average, as one masked matmul
+    # against the static subtree incidence matrix (a reverse scan costs
+    # ~nbody sequential scatter kernels per call on TPU)
+    from .support import body_subtree_mask
+
     mass = model.body_mass  # (nbody,)
-    parent = jnp.asarray(model.body_parentid)
-    weighted0 = mass[:, None] * data.xipos
-    submass0 = mass
-
-    def up_step(carry, b):
-        weighted, submass = carry
-        pid = parent[b]
-        weighted = weighted.at[pid].add(weighted[b])
-        submass = submass.at[pid].add(submass[b])
-        return (weighted, submass), None
-
-    (weighted, submass), _ = jax.lax.scan(
-        up_step, (weighted0, submass0),
-        jnp.arange(model.nbody - 1, 0, -1),
-    )
+    sub = jnp.asarray(body_subtree_mask(model), dtype=dtype)
+    weighted = jnp.einsum("ab,bc->ac", sub, mass[:, None] * data.xipos)
+    submass = sub @ mass
     subtree_com = weighted / jnp.maximum(submass, 1e-12)[:, None]
 
     # per-body com-frame center: subtree_com of the body's kinematic root

@@ -64,6 +64,30 @@ def jac_dif_pair(model: Model, data: Data, point: jnp.ndarray, b1: int, b2: int)
 
 
 _BODY_MASK_CACHE: dict = {}
+_SUBTREE_MASK_CACHE: dict = {}
+
+
+def body_subtree_mask(model: Model) -> np.ndarray:
+    """(nbody, nbody) bool: [a, b] = body b is in the subtree rooted at a
+    (including a itself). Turns bottom-up tree accumulations (subtree com,
+    RNE force back-propagation, CRB inertia stacking) into single masked
+    matmuls instead of per-body scan scatter chains."""
+    key = _tree_key(model)
+    hit = _SUBTREE_MASK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    nb = model.nbody
+    mask = np.zeros((nb, nb), dtype=bool)
+    parent = np.asarray(model.body_parentid)
+    for b in range(nb):
+        a = b
+        while True:
+            mask[a, b] = True
+            if a == 0:
+                break
+            a = int(parent[a])
+    _SUBTREE_MASK_CACHE[key] = mask
+    return mask
 
 
 def dof_body_mask(model: Model) -> np.ndarray:
@@ -122,12 +146,29 @@ def jac_dyn(model: Model, data: Data, point: jnp.ndarray, bodyid: jnp.ndarray):
     bodyid: (...,) int. Returns jacp, jacr of shape (..., 3, nv)."""
     dtype = data.qpos.dtype
     mask = jnp.asarray(dof_body_mask(model), dtype=dtype)[bodyid]  # (..., nv)
-    root = jnp.asarray(model.body_rootid)[bodyid]
-    offset = point - data.subtree_com[root]  # (..., 3)
+    roots = np.asarray(model.body_rootid)
+    if roots[1:].size and np.all(roots[1:] == roots[1]):
+        # single kinematic tree (every robot in the suite): the subtree-com
+        # reference is a compile-time index — no per-contact gather. The
+        # world body's rows are masked to zero anyway, so its offset value
+        # is irrelevant.
+        com = data.subtree_com[int(roots[1])]
+    else:
+        com = data.subtree_com[jnp.asarray(roots)[bodyid]]
+    offset = point - com  # (..., 3)
     ang = data.cdof[:, :3]  # (nv, 3)
     lin = data.cdof[:, 3:]
-    jacp = (
-        jnp.cross(ang, offset[..., None, :]) + lin
-    ) * mask[..., :, None]  # (..., nv, 3)
-    jacr = ang * mask[..., :, None]
-    return jnp.swapaxes(jacp, -1, -2), jnp.swapaxes(jacr, -1, -2)
+    # build (..., 3, nv) directly (a trailing swapaxes lowers to a layout
+    # copy of the full (..., nv, 3) tensor on TPU)
+    ox, oy, oz = offset[..., 0:1], offset[..., 1:2], offset[..., 2:3]
+    ax, ay, az = ang[:, 0], ang[:, 1], ang[:, 2]
+    cx = ay * oz - az * oy  # (..., nv)
+    cy = az * ox - ax * oz
+    cz = ax * oy - ay * ox
+    jacp = jnp.stack(
+        [cx + lin[:, 0], cy + lin[:, 1], cz + lin[:, 2]], axis=-2
+    ) * mask[..., None, :]  # (..., 3, nv)
+    jacr = jnp.stack([ax, ay, az], axis=-2) * jnp.ones_like(
+        offset[..., :1, None]
+    ) * mask[..., None, :]
+    return jacp, jacr
