@@ -37,6 +37,15 @@ def pallas_enabled() -> bool:
     if os.environ.get("LMT_PALLAS", "1") == "0":
         return False
     try:
+        # The kernel must lower on the device computations actually land on.
+        # `jax.default_backend()` alone is wrong when a TPU plugin is present
+        # but `jax_default_device` pins execution to CPU (the parity-test
+        # configuration): lowering then happens for CPU and pallas_call
+        # raises. Trust the pinned default device first.
+        pinned = jax.config.jax_default_device
+        if pinned is not None:
+            platform = getattr(pinned, "platform", pinned)
+            return str(platform) not in ("cpu",)
         return jax.default_backend() not in ("cpu",)
     except Exception:  # pragma: no cover - no backend at all
         return False
