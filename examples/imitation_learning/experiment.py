@@ -19,26 +19,32 @@ import yaml
 
 import loco_mujoco_tpu as lmt
 from gail import GAIL, GAILConfig
+from vail import VAIL, VAILConfig
 
 
 def load_conf(env_name):
+    """Resolve per-env hyperparameters; `algorithm: VAIL` in a conf block
+    selects the VDB discriminator (reference confs.yaml schema)."""
     confs = yaml.safe_load(
         (Path(__file__).parent / "confs.yaml").read_text()
     )
     conf = dict(confs["default"])
     conf.update(confs.get(env_name) or {})
     conf["hidden"] = tuple(conf["hidden"])
-    return GAILConfig(**conf)
+    algo = conf.pop("algorithm", "GAIL").upper()
+    if algo == "VAIL":
+        return VAILConfig(**conf), VAIL
+    return GAILConfig(**conf), GAIL
 
 
 def experiment(env_name="UnitreeA1.simple.real", n_iterations=200, seed=0,
                debug=False, results_dir="./logs", **cfg_overrides):
     env = lmt.make(env_name, debug=debug)
     expert = env.create_dataset()["states"]
-    cfg = load_conf(env_name)
+    cfg, agent_cls = load_conf(env_name)
     if cfg_overrides:
         cfg = cfg._replace(**cfg_overrides)
-    agent = GAIL(env, expert, cfg)
+    agent = agent_cls(env, expert, cfg)
 
     out = Path(results_dir) / env_name / f"seed_{seed}"
     out.mkdir(parents=True, exist_ok=True)

@@ -108,6 +108,23 @@ class GAIL:
             self.disc_tx.init(disc_p),
         )
 
+    # ---- discriminator hooks (overridden by VAIL) -------------------------
+    def _disc_logits(self, disc_params, x, key=None):
+        """Deterministic logits — used for the GAIL reward signal."""
+        return self.disc.apply(disc_params, x)[..., 0]
+
+    def _disc_loss(self, disc_params, pol_b, exp_b, key):
+        lp = self._disc_logits(disc_params, pol_b, key)
+        le = self._disc_logits(disc_params, exp_b, key)
+        # expert -> label 1, policy -> label 0 (BCE with logits)
+        return (
+            jnp.mean(jax.nn.softplus(lp)) + jnp.mean(jax.nn.softplus(-le))
+        )
+
+    def _disc_post_epoch(self, disc_params, aux):
+        """Hook after each discriminator epoch (VAIL: dual ascent on beta)."""
+        return disc_params
+
     # ---- policy ----------------------------------------------------------
     def _logp(self, pi_params, log_std, obs, act):
         mean = self.pi.apply(pi_params, obs)
@@ -143,7 +160,7 @@ class GAIL:
         # (T, B, ...) -> flatten later; GAIL reward from the discriminator:
         # r = softplus(D) = -log(1 - sigmoid(D))  (non-saturating)
         d_obs = obs[..., self.disc_idx]
-        logits = self.disc.apply(ts.disc_params, d_obs)[..., 0]
+        logits = self._disc_logits(ts.disc_params, d_obs)
         rew = jax.nn.softplus(logits)
 
         # GAE over the scanned axis
@@ -226,18 +243,9 @@ class GAIL:
         # ---- discriminator update ---------------------------------------
         fd_obs = d_obs.reshape(N, -1)
 
-        def disc_loss(params, pol_b, exp_b):
-            lp = self.disc.apply(params, pol_b)[..., 0]
-            le = self.disc.apply(params, exp_b)[..., 0]
-            # expert -> label 1, policy -> label 0 (BCE with logits)
-            return (
-                jnp.mean(jax.nn.softplus(lp))
-                + jnp.mean(jax.nn.softplus(-le))
-            )
-
         def disc_epoch(carry, k_ep):
             disc_params, disc_opt = carry
-            kp, ke = jax.random.split(k_ep)
+            kp, ke, kz = jax.random.split(k_ep, 3)
             pol_b = fd_obs[
                 jax.random.randint(kp, (cfg.disc_batch,), 0, N)
             ]
@@ -245,11 +253,15 @@ class GAIL:
                 jax.random.randint(ke, (cfg.disc_batch,), 0,
                                    len(self.expert))
             ]
-            g = jax.grad(disc_loss)(disc_params, pol_b, exp_b)
+            loss, g = jax.value_and_grad(self._disc_loss)(
+                disc_params, pol_b, exp_b, kz
+            )
             upd, disc_opt = self.disc_tx.update(g, disc_opt, disc_params)
             disc_params = optax.apply_updates(disc_params, upd)
-            return (disc_params, disc_opt), disc_loss(disc_params, pol_b,
-                                                      exp_b)
+            disc_params = self._disc_post_epoch(
+                disc_params, (pol_b, exp_b, kz)
+            )
+            return (disc_params, disc_opt), loss
 
         rng, k_de = jax.random.split(rng)
         (disc_params, disc_opt), dloss = jax.lax.scan(

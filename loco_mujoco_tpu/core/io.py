@@ -18,6 +18,7 @@ import os
 import tempfile
 import xml.etree.ElementTree as ET
 
+import jax
 import jax.numpy as jnp
 import mujoco
 import numpy as np
@@ -205,7 +206,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
     """
 
     def jarr(x):
-        return jnp.asarray(np.asarray(x), dtype=dtype)
+        # numpy here, ONE device_put of the finished pytree below: eager
+        # per-field jnp.asarray casts each trigger a tiny XLA compile, which
+        # on a tunneled TPU backend costs seconds apiece (~170s per model)
+        return np.asarray(np.asarray(x), dtype=np.dtype(dtype))
 
     # --- contact pair table -------------------------------------------------
     pairs = _candidate_pairs(m)
@@ -330,7 +334,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
             ancestor_mask[i, j] = True
             j = int(dof_parentid[j])
 
-    return Model(
+    model = Model(
         opt=opt,
         qpos0=jarr(m.qpos0),
         qpos_spring=jarr(m.qpos_spring),
@@ -452,6 +456,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         pair_condim=pair_condim,
         names=names,
     )
+    # single batched transfer of all dynamic leaves (see jarr above)
+    return jax.device_put(model)
 
 
 def hull_vert_indices(m: mujoco.MjModel):
@@ -496,33 +502,38 @@ def make_data(model: Model, dtype=None) -> Data:
     nsite, ntendon = model.nsite, model.ntendon
     nc = ncon_max(model)
 
-    def z(*shape):
-        return jnp.zeros(shape, dtype=dtype)
+    # numpy construction + ONE device_put at the end: eager jnp constructors
+    # each compile a tiny XLA program, which is seconds apiece on a tunneled
+    # TPU backend (same rationale as put_model)
+    npdt = np.dtype(dtype)
 
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nbody, 3, 3))
-    quat0 = jnp.tile(jnp.array([1.0, 0, 0, 0], dtype=dtype), (nbody, 1))
+    def z(*shape):
+        return np.zeros(shape, dtype=npdt)
+
+    eye = np.broadcast_to(np.eye(3, dtype=npdt), (nbody, 3, 3)).copy()
+    quat0 = np.tile(np.array([1.0, 0, 0, 0], dtype=npdt), (nbody, 1))
 
     contact = Contact(
-        dist=jnp.full((nc,), 1e10, dtype=dtype),
+        dist=np.full((nc,), 1e10, dtype=npdt),
         pos=z(nc, 3),
-        frame=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nc, 3, 3)),
+        frame=np.broadcast_to(np.eye(3, dtype=npdt), (nc, 3, 3)).copy(),
         includemargin=z(nc),
-        friction=jnp.tile(jnp.array([1, 1, 0.005, 1e-4, 1e-4], dtype=dtype), (nc, 1)),
-        solref=jnp.tile(jnp.array([0.02, 1.0], dtype=dtype), (nc, 1)),
-        solimp=jnp.tile(jnp.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=dtype), (nc, 1)),
-        geom1=jnp.zeros(nc, dtype=jnp.int32),
-        geom2=jnp.zeros(nc, dtype=jnp.int32),
+        friction=np.tile(np.array([1, 1, 0.005, 1e-4, 1e-4], dtype=npdt), (nc, 1)),
+        solref=np.tile(np.array([0.02, 1.0], dtype=npdt), (nc, 1)),
+        solimp=np.tile(np.array([0.9, 0.95, 0.001, 0.5, 2.0], dtype=npdt), (nc, 1)),
+        geom1=np.zeros(nc, dtype=np.int32),
+        geom2=np.zeros(nc, dtype=np.int32),
         dim=np.ones(nc, dtype=np.int32),
     )
 
-    return Data(
-        qpos=jnp.asarray(model.qpos0, dtype=dtype),
+    data = Data(
+        qpos=np.asarray(model.qpos0, dtype=npdt),
         qvel=z(nv),
         act=z(na),
         ctrl=z(nu),
         qacc=z(nv),
         qacc_warmstart=z(nv),
-        time=jnp.zeros((), dtype=dtype),
+        time=np.zeros((), dtype=npdt),
         xpos=z(nbody, 3),
         xquat=quat0,
         xmat=eye,
@@ -531,9 +542,9 @@ def make_data(model: Model, dtype=None) -> Data:
         xanchor=z(njnt, 3),
         xaxis=z(njnt, 3),
         geom_xpos=z(ngeom, 3),
-        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (ngeom, 3, 3)),
+        geom_xmat=np.broadcast_to(np.eye(3, dtype=npdt), (ngeom, 3, 3)).copy(),
         site_xpos=z(nsite, 3),
-        site_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (max(nsite, 0), 3, 3)),
+        site_xmat=np.broadcast_to(np.eye(3, dtype=npdt), (max(nsite, 0), 3, 3)).copy(),
         subtree_com=z(nbody, 3),
         cinert=z(nbody, 10),
         cdof=z(nv, 6),
@@ -559,3 +570,5 @@ def make_data(model: Model, dtype=None) -> Data:
         qfrc_constraint=z(nv),
         efc_force_contact=z(nc, 10),  # up to 2*(condim-1) pyramidal rows
     )
+    # single batched transfer of all dynamic leaves (see note above)
+    return jax.device_put(data)
