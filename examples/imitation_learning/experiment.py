@@ -18,8 +18,8 @@ from pathlib import Path
 import yaml
 
 import loco_mujoco_tpu as lmt
-from gail import GAIL, GAILConfig
-from vail import VAIL, VAILConfig
+from loco_mujoco_tpu.algorithms import GAIL, GAILConfig
+from loco_mujoco_tpu.algorithms import VAIL, VAILConfig
 
 
 def load_conf(env_name):

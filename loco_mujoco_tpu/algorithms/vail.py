@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 from flax import linen as nn
 
-from gail import GAIL, GAILConfig, MLP
+from .gail import GAIL, GAILConfig, MLP
 
 
 class VAILConfig(NamedTuple):

@@ -24,6 +24,25 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import interpolate
 
+from ..native import cubic_resample_uniform as _native_cubic
+
+
+def _cubic_axis1(x, traj, x_new):
+    """Cubic (not-a-knot) resample along axis 1, matching
+    scipy.interpolate.interp1d(kind="cubic"). Uses the native C++ loader
+    kernel (loco_mujoco_tpu/native) when available — the host-side hot
+    spot of env construction (reference utils/trajectory.py:184-234) —
+    with scipy as fallback and parity oracle (tests/test_native.py)."""
+    try:
+        arr = np.asarray(traj, dtype=np.float64)
+    except (ValueError, TypeError):
+        arr = None
+    if arr is not None and arr.ndim >= 2 and arr.shape[1] == len(x):
+        got = _native_cubic(np.moveaxis(arr, 1, -1), x_new)
+        if got is not None:
+            return np.moveaxis(got, -1, 1)
+    return interpolate.interp1d(x, traj, kind="cubic", axis=1)(x_new)
+
 
 def load_dataset_and_get_traj_files(dataset_path, keys, freq=None):
     """Convert a perfect/preference dataset (states/actions/absorbing/last
@@ -226,7 +245,7 @@ class TrajectoryData:
                 traj = map_f(traj, **(map_p or {}))
             else:
                 traj = np.asarray(traj)
-            new = interpolate.interp1d(x, traj, kind="cubic", axis=1)(x_new)
+            new = _cubic_axis1(x, traj, x_new)
             if remap_f is not None:
                 new = remap_f(new, **(remap_p or {}))
             for i in range(len(per_key)):

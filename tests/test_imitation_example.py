@@ -10,13 +10,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).parent.parent / "examples" / "imitation_learning"))
 
 import loco_mujoco_tpu as lmt
 
 
 def test_gail_trains_on_a1():
-    from gail import GAIL, GAILConfig
+    from loco_mujoco_tpu.algorithms import GAIL, GAILConfig
 
     # tests enable x64, so keep the env in f64 to match the f64 networks
     env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float64)
