@@ -1,45 +1,64 @@
 """Headline benchmark: batched env throughput on the available accelerator.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.md): >= 1M env-steps/s aggregate at 4096 envs/host.
-Current flagship: UnitreeA1.simple.real (torque mode, elliptic contacts,
-full Newton solver) — switches to HumanoidTorque.run once that env lands.
+Baseline target (BASELINE.md): >= 1M env-steps/s aggregate at 4096
+envs/host on HumanoidTorque.run (1 kHz physics, n_substeps=10 -> each
+env-step is 10 physics steps; RK4, box feet, Newton contacts).
+
+The rollout is a sequence of jitted batched step calls (async dispatch
+hides per-call latency — measured ~0.03 ms/call vs ~100 ms/step of
+device work, so this equals scanned throughput; the scan form tickles
+a TPU runtime fault at 4096 envs on the current toolchain).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
 
+N_ENVS = int(os.environ.get("BENCH_N_ENVS", 4096))
+N_STEPS = int(os.environ.get("BENCH_N_STEPS", 50))
+TASK = os.environ.get("BENCH_TASK", "HumanoidTorque.run.real")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
     import loco_mujoco_tpu as lmt
 
-    n_envs = 4096
-    n_steps = 200
+    t0 = time.time()
+    env = lmt.make(TASK, debug=True)
+    log(f"bench: make({TASK}) {time.time() - t0:.1f}s; "
+        f"devices {jax.devices()}")
 
-    env = lmt.make("HumanoidTorque.run.real", debug=True)
-    reset_fn = jax.jit(jax.vmap(env.reset))
     step_fn = jax.jit(jax.vmap(env.step))
 
-    key = jax.random.PRNGKey(0)
-    states = reset_fn(jax.random.split(key, n_envs))
-    actions = jnp.zeros((n_envs, env.action_dim))
+    t0 = time.time()
+    states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), N_ENVS)
+    )
+    states.obs.block_until_ready()
+    log(f"bench: reset compile+run {time.time() - t0:.1f}s")
 
-    # warmup / compile
+    actions = jnp.zeros((N_ENVS, env.action_dim))
+    t0 = time.time()
     states = step_fn(states, actions)
     states.obs.block_until_ready()
+    log(f"bench: step compile+first {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    for _ in range(n_steps):
+    for _ in range(N_STEPS):
         states = step_fn(states, actions)
     states.obs.block_until_ready()
     dt = time.time() - t0
 
-    steps_per_s = n_steps * n_envs / dt
+    steps_per_s = N_STEPS * N_ENVS / dt
     print(
         json.dumps(
             {

@@ -239,8 +239,21 @@ class LocoEnv:
             return model
         return self.domain_rand.apply(model, dr)
 
-    def _init_state(self, rng) -> EnvState:
-        """Build an episode-start state (the `setup` path, base.py:205-241)."""
+    def _init_state(self, rng, full_forward: bool = True) -> EnvState:
+        """Build an episode-start state (the `setup` path, base.py:205-241).
+
+        `full_forward=False` builds the cheap variant used by in-step
+        auto-reset: derived Data fields (FK products, mass matrix, contacts,
+        constraint forces) are left at their reset zeros because the next
+        step's `fwd.forward` recomputes every one of them before use, and no
+        observation reads them at episode start (JOINT_POS/JOINT_VEL come
+        from the injected sample; the only SITE_ROT entry in the suite — the
+        A1 goal arrow — is replaced by goal features in
+        `_modify_observation`). Skipping the forward also keeps the step
+        graph free of a second solver while_loop, which XLA compiles to a
+        13x-slower program when its outputs feed the auto-reset select
+        (measured: 817ms -> 10.9s per 4096-env step on TPU v5e).
+        """
         rng, k_traj, k_setup, k_env, k_dr = jax.random.split(rng, 5)
         if self.variants is not None and self.random_env_reset:
             env_id = jax.random.randint(k_env, (), 0, self.n_variants)
@@ -251,7 +264,12 @@ class LocoEnv:
             if self.domain_rand is not None
             else {}
         )
-        model = self._apply_dr(self._model_at(env_id), dr)
+        if full_forward:
+            model = self._apply_dr(self._model_at(env_id), dr)
+        else:
+            # model only provides shapes to make_data on this path (the
+            # forward is skipped), so the per-env variant gather is elided
+            model = self.model
         data = self._fresh_data(model)
 
         goal = jnp.zeros(2, dtype=self.dtype)
@@ -279,7 +297,8 @@ class LocoEnv:
             sample, goal = self._setup_sample(sample, k_setup)
             data = self.obs_index.sample_to_state(self.model, data, sample)
 
-        data = fwd.forward(model, data)
+        if full_forward:
+            data = fwd.forward(model, data)
 
         state = EnvState(
             data=data,
@@ -353,18 +372,43 @@ class LocoEnv:
             return stepped
 
         # auto-reset: where done, swap in a fresh episode (keeps shapes
-        # static; reward/done of the finishing step are preserved)
+        # static; reward/done of the finishing step are preserved). Only the
+        # *carried* fields are merged — qpos/qvel/act/ctrl/time/warmstart and
+        # the env bookkeeping; every derived Data field (FK, inertia,
+        # contacts, forces) is recomputed from scratch by the next step's
+        # forward before anything reads it, so selecting it here would be
+        # pure memory traffic (and triggers the XLA select-over-solver-loop
+        # pathology documented in _init_state).
         rng, k = jax.random.split(state.rng)
-        fresh = self._init_state(k)
-        fresh = fresh.replace(
-            reward=reward, absorbing=absorbing, done=done, rng=rng
+        fresh = self._init_state(k, full_forward=False)
+
+        def sel(f, s):
+            return jnp.where(done, f, s)
+
+        fd, sd = fresh.data, data
+        merged_data = sd.replace(
+            qpos=sel(fd.qpos, sd.qpos),
+            qvel=sel(fd.qvel, sd.qvel),
+            act=sel(fd.act, sd.act),
+            ctrl=sel(fd.ctrl, sd.ctrl),
+            qacc=sel(fd.qacc, sd.qacc),
+            qacc_warmstart=sel(fd.qacc_warmstart, sd.qacc_warmstart),
+            qfrc_applied=sel(fd.qfrc_applied, sd.qfrc_applied),
+            xfrc_applied=sel(fd.xfrc_applied, sd.xfrc_applied),
+            time=sel(fd.time, sd.time),
         )
-        out = jax.tree_util.tree_map(
-            lambda f, s: jnp.where(done, f, s),
-            fresh,
-            stepped.replace(rng=rng),
+        return stepped.replace(
+            data=merged_data,
+            obs=sel(fresh.obs, obs),
+            rng=rng,
+            step_no=sel(fresh.step_no, stepped.step_no),
+            traj_no=sel(fresh.traj_no, stepped.traj_no),
+            subtraj_step=sel(fresh.subtraj_step, stepped.subtraj_step),
+            goal=sel(fresh.goal, stepped.goal),
+            grf_window=sel(fresh.grf_window, stepped.grf_window),
+            env_id=sel(fresh.env_id, stepped.env_id),
+            dr=jax.tree_util.tree_map(sel, fresh.dr, stepped.dr),
         )
-        return out
 
     # convenience: vmapped entry points
     def reset_batch(self, rng, n_envs: int):

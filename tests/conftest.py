@@ -18,9 +18,11 @@ jax.config.update("jax_enable_x64", True)
 # serializer segfaults intermittently on this CPU backend (observed in
 # jax 0.9 compilation_cache.put_executable_and_time). Compile times are
 # kept manageable by the lax.scan tree recursions instead.
-# The axon TPU plugin ignores JAX_PLATFORMS; pin the default device to CPU so
-# parity tests run in float64 (TPU has no native f64).
-jax.config.update("jax_default_device", jax.local_devices(backend="cpu")[0])
+# The axon TPU plugin overrides the JAX_PLATFORMS env var; the config knob
+# still wins, and skipping TPU client creation entirely keeps test runs from
+# blocking on the chip's single-process device lock while a bench/profile
+# job holds it. (f64 parity vs the CPU MuJoCo oracle needs CPU anyway.)
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -86,8 +86,8 @@ bench("B full step", jax.jit(jax.vmap(env.step)), states, actions)
 
 # E: two dispatches
 step_no_ar = jax.jit(jax.vmap(envA.step))
-def reset_where(state, key):
-    fresh = jax.vmap(env._init_state)(jax.random.split(key, N))
+def _reset_where1(state, key):
+    fresh = env._init_state(key)
     fresh = fresh.replace(
         reward=state.reward, absorbing=state.absorbing,
         done=state.done, rng=state.rng,
@@ -95,6 +95,12 @@ def reset_where(state, key):
     return jax.tree_util.tree_map(
         lambda f, s: jnp.where(state.done, f, s), fresh, state
     )
+
+
+def reset_where(state, key):
+    return jax.vmap(_reset_where1)(state, jax.random.split(key, N))
+
+
 reset_where_j = jax.jit(reset_where)
 
 def two_prog(states, actions, key):
