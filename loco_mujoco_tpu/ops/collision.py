@@ -378,10 +378,11 @@ def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):
         np.float32
     )
     margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
-    key = (verts.tobytes(), margin.tobytes())
+    counts = vmask.sum(axis=1)
+    key = (verts.tobytes(), margin.tobytes(), counts.tobytes())
     fn = _PALLAS_SELECT_CACHE.get(key)
     if fn is None:
-        fn = pc.make_plane_mesh_select(verts, margin)
+        fn = pc.make_plane_mesh_select(verts, margin, counts)
         _PALLAS_SELECT_CACHE[key] = fn
     return fn
 

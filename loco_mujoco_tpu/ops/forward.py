@@ -58,8 +58,11 @@ def fwd_position(model: Model, data: Data) -> Data:
     data = kinematics.com_pos(model, data)
     data = tendon.tendon(model, data)
     data = inertia.crb(model, data)
-    data = inertia.factor_m(model, data)
     data = coll_mod.collision(model, data)
+    # when the fused constraint kernel will run, it performs the M-solves
+    # itself (chol in VMEM) — the XLA-side factorization would be dead code
+    if _fused_plan(model, data) is None:
+        data = inertia.factor_m(model, data)
     return data
 
 
@@ -88,6 +91,10 @@ def fwd_acceleration(model: Model, data: Data) -> Data:
     # xfrc_applied is unused by the reference envs (no external pushes), but
     # supported for API parity: project body wrenches through cdof.
     qfrc_smooth = qfrc_smooth + _xfrc_projection(model, data)
+    if _fused_plan(model, data) is not None:
+        # the fused constraint kernel computes qacc_smooth = M^-1 qfrc_smooth
+        # in VMEM and writes it back to Data itself
+        return data.replace(qfrc_smooth=qfrc_smooth)
     qacc_smooth = inertia.solve_m(model, data, qfrc_smooth)
     return data.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth)
 
@@ -102,10 +109,15 @@ def _xfrc_projection(model: Model, data: Data) -> jnp.ndarray:
     torque = xfrc[:, 3:]
     offset = data.xipos - data.subtree_com[model.body_rootid]
     t_eff = torque + jnp.cross(offset, force)
-    # mask[d, b] = body b is in the subtree driven by dof d
-    mask = _dof_body_mask(model)
-    contrib = data.cdof[:, :3] @ t_eff.T + data.cdof[:, 3:] @ force.T  # (nv, nbody)
-    return jnp.sum(jnp.asarray(mask) * contrib, axis=1)
+    # mask[d, b] = body b is in the subtree driven by dof d. The sum over
+    # bodies distributes through the per-dof dot products, so fold the mask
+    # into t_eff/force first — this avoids materializing a (nv, nbody)
+    # intermediate per env (measured 10 ms/step of pure layout traffic for
+    # an input that is all zeros in every shipped task).
+    mask = jnp.asarray(_dof_body_mask(model), dtype=t_eff.dtype)
+    tm = mask @ t_eff   # (nv, 3)
+    fm = mask @ force   # (nv, 3)
+    return jnp.sum(data.cdof[:, :3] * tm + data.cdof[:, 3:] * fm, axis=-1)
 
 
 _DOF_BODY_MASK_CACHE: dict = {}
@@ -134,8 +146,24 @@ def _dof_body_mask(model: Model) -> np.ndarray:
     return mask
 
 
+def _fused_plan(model: Model, data: Data):
+    from . import pallas_constraint as pc
+
+    return pc.maybe_plan(model, data)
+
+
 @_exact_f32
 def fwd_constraint(model: Model, data: Data) -> Data:
+    # TPU fast path: constraint assembly + Newton solve as ONE fused Pallas
+    # kernel — J is built in VMEM and never exists in HBM (the XLA assembly
+    # + the J transpose cost more than the entire solve kernel; see
+    # ops/pallas_constraint.py). Pyramidal/limit/friction-loss/JOINT-equality
+    # models only; everything else takes the reference XLA path below.
+    plan = _fused_plan(model, data)
+    if plan is not None:
+        from . import pallas_constraint as pc
+
+        return pc.fused_constraint(model, data, plan)
     efc = con_mod.make_constraint(model, data)
     return solver.solve(model, data, efc)
 

@@ -1,0 +1,827 @@
+"""Pallas TPU kernel: fused constraint ASSEMBLY + Newton solve.
+
+`pallas_newton.py` removed the solver's HBM traffic but still consumes a
+J matrix materialized by `constraint.make_constraint` in env-major layout —
+building it (Jacobian einsums, row concatenation) and transposing it to the
+kernel's env-last layout costs more than the solve itself (measured 9.6 ms
+assembly + 3.2 ms transpose vs ~1 ms solve per forward at 4096 envs on v5e;
+minor-dim transposes run at ~3 GB/s on this chip).
+
+This kernel builds the constraint rows INSIDE the program, so J never exists
+in HBM in any layout. Inputs are the small upstream quantities only: qpos,
+qvel, cdof, the root subtree com, M, and the per-slot contact fields from
+the collision driver. Row construction follows `constraint.make_constraint`
+exactly (same order: JOINT-equality block, dof friction loss, joint limits,
+contact facets; same kbi/impedance math — `constraint.py:64-100`), then the
+shared `pallas_newton.solve_core` runs the Newton solve on the VMEM-resident
+rows. Outputs: qacc, qfrc_constraint, and the per-row forces for the GRF
+readout.
+
+Supported (gated by `build_plan`): pyramidal cone, every contact slot
+condim 3, active equalities all JOINT-type, single kinematic tree, all
+constraint-relevant model leaves concrete (domain randomization of those
+leaves falls back to the XLA path). This covers the full humanoid/robot
+suite; A1's elliptic cones keep the XLA path.
+
+The XLA implementation remains the reference; parity is asserted in
+tests/test_pallas_newton.py via interpret mode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.types import ConeType, DisableBit, EqType, Model
+from . import pallas_layout as play
+from . import pallas_newton as pn
+from .constraint import MINVAL, MINIMP, MAXIMP
+from .support import dof_body_mask
+
+_BE = pn._BE
+
+
+def _conc(x):
+    """Concrete numpy value, or None if traced."""
+    if isinstance(x, np.ndarray):
+        return x
+    if isinstance(x, (int, float)):
+        return np.asarray(x)
+    try:
+        return np.asarray(x)
+    except Exception:
+        return None
+
+
+class RowPlan:
+    """Static row layout + host-side tables for the fused kernel."""
+
+    def __init__(self, model: Model, con_dim, ncon):
+        self.ok = False
+        opt = model.opt
+        if ncon and opt.cone == int(ConeType.ELLIPTIC):
+            return
+        if ncon and any(int(d) != 3 for d in np.asarray(con_dim)):
+            return
+        roots = np.asarray(model.body_rootid)
+        if roots[1:].size and not np.all(roots[1:] == roots[1]):
+            return
+        disabled = bool(opt.disableflags & DisableBit.CONSTRAINT)
+        if disabled:
+            return  # rare config; keep the XLA path
+
+        # all model leaves the assembly reads must be compile-time constants
+        need = [
+            model.qpos0, model.jnt_range, model.jnt_margin, model.jnt_solref,
+            model.jnt_solimp, model.jnt_limited, model.jnt_qposadr,
+            model.jnt_dofadr, model.dof_solref, model.dof_solimp,
+            model.dof_frictionloss, model.dof_invweight0,
+            model.body_invweight0, model.eq_type, model.eq_obj1id,
+            model.eq_obj2id, model.eq_data, model.eq_solref, model.eq_solimp,
+            model.eq_active0, opt.timestep, opt.impratio,
+        ]
+        vals = [_conc(x) for x in need]
+        if any(v is None for v in vals):
+            return
+        (qpos0, jnt_range, jnt_margin, jnt_solref, jnt_solimp, jnt_limited,
+         jnt_qposadr, jnt_dofadr, dof_solref, dof_solimp, dof_floss,
+         dof_iw, body_iw, eq_type, eq_obj1, eq_obj2, eq_data, eq_solref,
+         eq_solimp, eq_active0, timestep, impratio) = vals
+
+        self.timestep = float(timestep)
+        self.refsafe = not (opt.disableflags & DisableBit.REFSAFE)
+        # python floats: np scalars would trigger f64 promotion in-kernel
+        self.qpos0 = [float(x) for x in qpos0]
+
+        # --- JOINT equalities (order-preserving block) ---
+        eq_ids = (
+            [e for e in range(model.neq) if eq_active0[e]]
+            if not (opt.disableflags & DisableBit.EQUALITY)
+            else []
+        )
+        if any(int(eq_type[e]) != int(EqType.JOINT) for e in eq_ids):
+            return  # CONNECT/WELD: XLA path
+        self.eq = []
+        for e in eq_ids:
+            j1 = int(eq_obj1[e])
+            j2r = int(eq_obj2[e])
+            valid2 = 0 <= j2r < model.njnt and j2r != j1
+            j2 = j2r if valid2 else j1
+            self.eq.append(dict(
+                q1=int(jnt_qposadr[j1]), v1=int(jnt_dofadr[j1]),
+                q2=int(jnt_qposadr[j2]), v2=int(jnt_dofadr[j2]),
+                m2=1.0 if valid2 else 0.0,
+                data=[float(x) for x in eq_data[e, :5]],
+                solref=[float(x) for x in eq_solref[e]],
+                solimp=[float(x) for x in eq_solimp[e]],
+                iw=float(dof_iw[int(jnt_dofadr[j1])])
+                + (float(dof_iw[int(jnt_dofadr[j2])]) if valid2 else 0.0),
+            ))
+
+        # --- dof friction loss ---
+        self.fl = []
+        if not (opt.disableflags & DisableBit.FRICTIONLOSS):
+            fl0 = _conc(model.dof_frictionloss0)
+            if fl0 is None:
+                return
+            for v in np.nonzero(fl0 > 0)[0]:
+                self.fl.append(dict(
+                    v=int(v),
+                    solref=[float(x) for x in dof_solref[v]],
+                    solimp=[float(x) for x in dof_solimp[v]],
+                    floss=float(dof_floss[v]),
+                    iw=float(dof_iw[v]),
+                ))
+
+        # --- joint limits ---
+        self.lim = []
+        if not (opt.disableflags & DisableBit.LIMIT):
+            for j in np.nonzero(jnt_limited)[0]:
+                v = int(jnt_dofadr[j])
+                self.lim.append(dict(
+                    q=int(jnt_qposadr[j]), v=v,
+                    lo=float(jnt_range[j, 0]), hi=float(jnt_range[j, 1]),
+                    margin=float(jnt_margin[j]),
+                    solref=[float(x) for x in jnt_solref[j]],
+                    solimp=[float(x) for x in jnt_solimp[j]],
+                    iw=float(dof_iw[v]),
+                ))
+
+        self.ncon = int(ncon) if not (
+            opt.disableflags & DisableBit.CONTACT
+        ) else 0
+        self.nv = model.nv
+        self.nq = model.nq
+        self.ne = len(self.eq)
+        self.nfl = len(self.fl)
+        self.nl = len(self.lim)
+        self.ncrow = 4 * self.ncon  # condim-3 pyramid: 4 facet rows/slot
+        self.nrows = self.ne + self.nfl + self.nl + self.ncrow
+        if self.nrows == 0:
+            return
+
+        # dof chain table for in-kernel mask construction
+        self.dofmask = dof_body_mask(model).astype(np.float64)  # (nbody, nv)
+        self.nbody = model.nbody
+        self.body_iw = [float(x) for x in body_iw[:, 0]]
+        self.root = int(roots[1]) if model.nbody > 1 else 0
+
+        # static Efc-compatible metadata (for GRF row extraction)
+        base = self.ne + self.nfl + self.nl
+        self.con_efcadr = np.asarray(
+            [base + 4 * c for c in range(self.ncon)], dtype=np.int32
+        )
+        self.con_dim = np.full(self.ncon, 3, dtype=np.int32)
+
+        # --- uniform contact statics -------------------------------------
+        # Every shipped robot collides against ONE static world plane with
+        # identical pair solref/solimp/margin across all candidate pairs.
+        # When that holds, the per-slot contact frame, kbi parameters,
+        # margin and the geom1 body are compile-time constants — the
+        # dynamic per-slot data shrinks from 26 floats to pos(3)+dist(1)+
+        # bodyid2(1) [+friction(2) when pair friction varies], which is
+        # most of the kernel-input relayout traffic.
+        self.uniform = False
+        if self.ncon:
+            try:
+                self._check_uniform(model)
+            except Exception:
+                self.uniform = False
+        self.ok = True
+
+    def _check_uniform(self, model: Model):
+        from .collision import contact_groups
+
+        groups, _, _ = contact_groups(model)
+        g1s = set()
+        for g in groups:
+            if int(g.t1) != 0:  # not plane-first
+                return
+            g1 = np.asarray(model.pair_geom1)[g.pair_ids]
+            g1s.update(g1.tolist())
+        if len(g1s) != 1:
+            return
+        gid = g1s.pop()
+        if int(model.geom_bodyid[gid]) != 0:
+            return  # plane must be on the static world body
+        if self.body_iw[0] != 0.0:
+            return  # world invweight folds out of iw_t only when zero
+        sref = _conc(model.pair_solref)
+        simp = _conc(model.pair_solimp)
+        marg = _conc(model.pair_margin)
+        gap = _conc(model.pair_gap)
+        fric = _conc(model.pair_friction)
+        gq = _conc(model.geom_quat)
+        if any(v is None for v in (sref, simp, marg, gap, fric, gq)):
+            return
+        if not (
+            np.all(sref == sref[0]) and np.all(simp == simp[0])
+            and np.all(marg == marg[0]) and np.all(gap == gap[0])
+        ):
+            return
+        self.c_solref = [float(x) for x in sref[0]]
+        self.c_solimp = [float(x) for x in simp[0]]
+        self.c_margin = float(marg[0] - gap[0])
+        self.fric_uniform = bool(np.all(fric[:, :2] == fric[0, :2]))
+        self.c_fric = [float(fric[0, 0]), float(fric[0, 1])]
+        # static world-frame plane normal -> static contact frame. Pure
+        # numpy: this runs inside an active jit trace (the plan is built on
+        # first forward), where launching eager jnp ops is not allowed.
+        w, xq, yq, zq = (float(v) for v in gq[gid])
+        qn = (w * w + xq * xq + yq * yq + zq * zq) ** 0.5
+        w, xq, yq, zq = w / qn, xq / qn, yq / qn, zq / qn
+        # third column of the rotation matrix = plane normal
+        n = np.array([
+            2 * (xq * zq + w * yq),
+            2 * (yq * zq - w * xq),
+            1 - 2 * (xq * xq + yq * yq),
+        ])
+        # mju_makeFrame convention (collision.make_frame)
+        ref = (
+            np.array([0.0, 1.0, 0.0])
+            if abs(n[1]) < 0.5
+            else np.array([0.0, 0.0, 1.0])
+        )
+        t1 = ref - n * float(np.dot(n, ref))
+        t1 = t1 / np.linalg.norm(t1)
+        t2 = np.cross(n, t1)
+        f = np.stack([n, t1, t2])  # (3, 3) rows n, t1, t2
+        self.c_frame = [[float(x) for x in row] for row in f]
+        # candidate geom2 -> body map: slot geom ids are passed to the
+        # kernel RAW and mapped to bodies by static one-hot compares there
+        # (an XLA gather geom_bodyid[geom2] lowers to a scalar-unit loop
+        # costing 13 ms/step at 4096 envs)
+        g2s = sorted(
+            set(
+                int(g)
+                for grp in groups
+                for g in np.asarray(model.pair_geom2)[grp.pair_ids]
+            )
+        )
+        self.body_geoms = {}  # body -> [geom ids]
+        for g in g2s:
+            b = int(model.geom_bodyid[g])
+            self.body_geoms.setdefault(b, []).append(g)
+        self.uniform = True
+
+    @property
+    def pack_w(self):
+        """Width of the packed per-slot contact input."""
+        if not self.ncon:
+            return 1
+        if self.uniform:
+            return 5 + (0 if self.fric_uniform else 2)
+        return 26
+
+
+_PLAN_CACHE: dict = {}
+
+
+def get_plan(model: Model, contact):
+    ncon = contact.dist.shape[0] if contact is not None else 0
+    dims = tuple(int(d) for d in np.asarray(contact.dim)) if ncon else ()
+    try:
+        key = (
+            model.body_parentid.tobytes(), model.nv,
+            np.asarray(model.jnt_range).tobytes(),
+            np.asarray(model.dof_frictionloss).tobytes()
+            if _conc(model.dof_frictionloss) is not None else None,
+            int(model.opt.cone), float(model.opt.timestep),
+            int(model.opt.disableflags), dims,
+        )
+    except Exception:
+        return None
+    if key not in _PLAN_CACHE:
+        try:
+            _PLAN_CACHE[key] = RowPlan(model, np.asarray(dims), ncon)
+        except Exception:
+            _PLAN_CACHE[key] = None
+    plan = _PLAN_CACHE[key]
+    return plan if (plan is not None and plan.ok) else None
+
+
+# ---------------------------------------------------------------------------
+# in-kernel scalar helpers (static solref/solimp)
+# ---------------------------------------------------------------------------
+def _impedance_static(si, pos):
+    dmin = min(max(si[0], MINIMP), MAXIMP)
+    dmax = min(max(si[1], MINIMP), MAXIMP)
+    width, mid, power = si[2], min(max(si[3], MINIMP), MAXIMP), max(si[4], 1.0)
+    x = jnp.clip(jnp.abs(pos) / max(width, MINVAL), 0.0, 1.0)
+    lo = jnp.power(x, power) / (mid ** (power - 1.0))
+    hi = 1.0 - jnp.power(1.0 - x, power) / ((1.0 - mid) ** (power - 1.0))
+    y = jnp.where(x < mid, lo, hi)
+    return jnp.clip(dmin + y * (dmax - dmin), MINIMP, MAXIMP)
+
+
+def _kbi_static(plan, sr, si, pos):
+    """k, b, imp with compile-time solref/solimp (pos traced)."""
+    imp = _impedance_static(si, pos)
+    dmax = min(max(si[1], MINIMP), MAXIMP)
+    tc, dr = sr[0], sr[1]
+    if plan.refsafe:
+        tc = max(tc, 2.0 * plan.timestep)
+    if sr[0] <= 0 or sr[1] <= 0:  # direct spec
+        k = -sr[0] / max(dmax * dmax, MINVAL)
+        b = -sr[1] / max(dmax, MINVAL)
+        return k, b, imp
+    k = 1.0 / max(dmax * dmax * tc * tc * dr * dr, MINVAL)
+    b = 2.0 / max(dmax * tc, MINVAL)
+    return k, b, imp
+
+
+def _impedance_dyn(si, pos):
+    """si (ncon, 5, E) traced, pos (ncon, E)."""
+    dmin = jnp.clip(si[:, 0, :], MINIMP, MAXIMP)
+    dmax = jnp.clip(si[:, 1, :], MINIMP, MAXIMP)
+    width = jnp.maximum(si[:, 2, :], MINVAL)
+    mid = jnp.clip(si[:, 3, :], MINIMP, MAXIMP)
+    power = jnp.maximum(si[:, 4, :], 1.0)
+    x = jnp.clip(jnp.abs(pos) / width, 0.0, 1.0)
+    lo = jnp.power(x, power) / jnp.power(mid, power - 1.0)
+    hi = 1.0 - jnp.power(1.0 - x, power) / jnp.power(1.0 - mid, power - 1.0)
+    y = jnp.where(x < mid, lo, hi)
+    return jnp.clip(dmin + y * (dmax - dmin), MINIMP, MAXIMP)
+
+
+def _kbi_dyn(plan, sr, si, pos):
+    """sr (ncon, 2, E), si (ncon, 5, E), pos (ncon, E) — all traced."""
+    imp = _impedance_dyn(si, pos)
+    dmax = jnp.clip(si[:, 1, :], MINIMP, MAXIMP)
+    sr0 = sr[:, 0, :]
+    sr1 = sr[:, 1, :]
+    tc = sr0
+    if plan.refsafe:
+        tc = jnp.maximum(tc, 2.0 * plan.timestep)
+    k_std = 1.0 / jnp.maximum(dmax * dmax * tc * tc * sr1 * sr1, MINVAL)
+    b_std = 2.0 / jnp.maximum(dmax * tc, MINVAL)
+    direct = (sr0 <= 0) | (sr1 <= 0)
+    k = jnp.where(direct, -sr0 / jnp.maximum(dmax * dmax, MINVAL), k_std)
+    b = jnp.where(direct, -sr1 / jnp.maximum(dmax, MINVAL), b_std)
+    return k, b, imp
+
+
+# ---------------------------------------------------------------------------
+# kernel builder
+# ---------------------------------------------------------------------------
+def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
+    nv, ncon = plan.nv, plan.ncon
+    ne, nfl, nl = plan.ne, plan.nfl, plan.nl
+
+    nq = plan.nq
+
+    def kernel(vp_ref, M_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref):
+        # vp: packed per-env vectors (see _fused_batched):
+        #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)]
+        vp = vp_ref[...]
+        qpos = vp[0:nq]                      # (nq, BE)
+        qvel = vp[nq:nq + nv]                # (nv, BE)
+        o_cd = nq + nv
+        o_com = o_cd + nv * 6
+        com = vp[o_com:o_com + 3]            # (3, BE)
+        o_qfs = o_com + 3
+        o_ws = o_qfs + nv
+
+        def cdof(v, i):  # (BE,)
+            return vp[o_cd + v * 6 + i]
+
+        M = M_ref[...]
+        # the smooth acceleration M^-1 qfrc_smooth is solved HERE rather
+        # than upstream: it keeps the unrolled Cholesky chain (the only
+        # consumer of qLD on this path) out of the XLA graph entirely
+        # (~28 ms/step of small-op kernels at 4096 envs)
+        asm = pn.chol_solve_spd(M, vp[o_qfs:o_qfs + nv], plan.nv)
+        ws = vp[o_ws:o_ws + nv]
+        E = qpos.shape[-1]
+        f32 = qpos.dtype
+
+        def full(v):
+            return jnp.full((1, E), v, dtype=f32)
+
+        zeros1 = jnp.zeros((1, E), dtype=f32)
+        ones1 = jnp.ones((1, E), dtype=f32)
+
+        # ------------------------------------------------------------------
+        # per-group row pieces; every list entry is (n_group_rows, E)
+        # ------------------------------------------------------------------
+        J_parts = [[] for _ in range(nv)]  # per dof
+        pos_parts, k_parts, b_parts, imp_parts = [], [], [], []
+        riw_parts = []   # R = (1-imp)/imp * riw  (per-row scale)
+        act_parts, floss_parts = [], []
+        meq_parts, mfl_parts, muni_parts = [], [], []
+
+        # --- JOINT equalities ---
+        for r in plan.eq:
+            q1r = qpos[r["q1"]][None]  # (1, E)
+            dif = (qpos[r["q2"]][None] - plan.qpos0[r["q2"]]) * r["m2"]
+            d0, d1, d2, d3, d4 = r["data"]
+            poly = d0 + d1 * dif + d2 * dif**2 + d3 * dif**3 + d4 * dif**4
+            dpoly = d1 + 2 * d2 * dif + 3 * d3 * dif**2 + 4 * d4 * dif**3
+            pos = q1r - plan.qpos0[r["q1"]] - poly
+            for v in range(nv):
+                piece = None
+                if v == r["v1"]:
+                    piece = ones1
+                if v == r["v2"] and r["m2"]:
+                    add = -dpoly
+                    piece = add if piece is None else piece + add
+                J_parts[v].append(piece if piece is not None else zeros1)
+            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
+            pos_parts.append(pos)
+            k_parts.append(k if hasattr(k, "shape") else full(k))
+            b_parts.append(b if hasattr(b, "shape") else full(b))
+            imp_parts.append(imp)
+            riw_parts.append(full(r["iw"]))
+            act_parts.append(ones1)
+            floss_parts.append(zeros1)
+            meq_parts.append(ones1)
+            mfl_parts.append(zeros1)
+            muni_parts.append(zeros1)
+
+        # --- dof friction loss ---
+        for r in plan.fl:
+            for v in range(nv):
+                J_parts[v].append(ones1 if v == r["v"] else zeros1)
+            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], zeros1)
+            pos_parts.append(zeros1)
+            k_parts.append(k if hasattr(k, "shape") else full(k))
+            b_parts.append(b if hasattr(b, "shape") else full(b))
+            imp_parts.append(imp)
+            riw_parts.append(full(r["iw"]))
+            act_parts.append(ones1)
+            floss_parts.append(full(r["floss"]))
+            meq_parts.append(zeros1)
+            mfl_parts.append(ones1)
+            muni_parts.append(zeros1)
+
+        # --- joint limits ---
+        for r in plan.lim:
+            qv = qpos[r["q"]][None]
+            dlo = qv - r["lo"]
+            dhi = r["hi"] - qv
+            use_lo = dlo <= dhi
+            dist = jnp.where(use_lo, dlo, dhi)
+            sign = jnp.where(use_lo, 1.0, -1.0).astype(f32)
+            pos = dist - r["margin"]
+            for v in range(nv):
+                J_parts[v].append(sign if v == r["v"] else zeros1)
+            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
+            pos_parts.append(pos)
+            k_parts.append(k if hasattr(k, "shape") else full(k))
+            b_parts.append(b if hasattr(b, "shape") else full(b))
+            imp_parts.append(imp)
+            riw_parts.append(full(r["iw"]))
+            act_parts.append((dist < r["margin"]).astype(f32))
+            floss_parts.append(zeros1)
+            meq_parts.append(zeros1)
+            mfl_parts.append(zeros1)
+            muni_parts.append(ones1)
+
+        # --- contacts: condim-3 pyramidal facets ---
+        if ncon:
+            cp = cp_ref[...]  # (ncon, W, BE) packed per-slot fields
+            if plan.uniform:
+                # uniform statics: [pos(3) dist geom2 (fric(2))] — frame,
+                # margin, kbi params and geom1's body are plan constants
+                cpos = cp[:, 0:3, :]
+                dist = cp[:, 3, :]
+                gid2 = cp[:, 4, :]
+                if plan.fric_uniform:
+                    mu1 = plan.c_fric[0]
+                    mu2 = plan.c_fric[1]
+                else:
+                    mu1 = cp[:, 5, :]
+                    mu2 = cp[:, 6, :]
+                frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
+                # body one-hots from the raw geom id (geom -> body is a
+                # static table; the plane's body 0 has an empty chain)
+                oh = {}
+                for bb, geoms in plan.body_geoms.items():
+                    if not plan.dofmask[bb].any():
+                        continue
+                    o = (gid2 == float(geoms[0])).astype(f32)
+                    for g in geoms[1:]:
+                        o = o + (gid2 == float(g)).astype(f32)
+                    oh[bb] = o
+                iwt = None
+                for bb, o in oh.items():
+                    if plan.body_iw[bb]:
+                        t = o * plan.body_iw[bb]
+                        iwt = t if iwt is None else iwt + t
+                if iwt is None:
+                    iwt = jnp.zeros_like(dist)
+            else:
+                # generic pack: [pos(3) frame(9) dist margin fric(2)
+                #                solref(2) solimp(5) iw_t bid1 bid2] = 26
+                cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
+                frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
+                dist = cp[:, 12, :]      # (ncon, BE)
+                marg = cp[:, 13, :]
+                fric = cp[:, 14:16, :]   # (ncon, 2, BE)
+                srefc = cp[:, 16:18, :]  # (ncon, 2, BE)
+                simpc = cp[:, 18:23, :]  # (ncon, 5, BE)
+                iwt = cp[:, 23, :]       # (ncon, BE)
+                bid1 = cp[:, 24, :]
+                bid2 = cp[:, 25, :]
+                mu1 = fric[:, 0, :]
+                mu2 = fric[:, 1, :]
+
+                # chain-mask difference via body one-hots (bodyids are
+                # traced; the chain table is static so only bodies with
+                # nonempty chains contribute)
+                oh = {}
+                for bb in range(plan.nbody):
+                    if plan.dofmask[bb].any():
+                        oh[bb] = (bid2 == float(bb)).astype(f32) - (
+                            bid1 == float(bb)
+                        ).astype(f32)
+
+            offx = cpos[:, 0, :] - com[0][None]
+            offy = cpos[:, 1, :] - com[1][None]
+            offz = cpos[:, 2, :] - com[2][None]
+
+            jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
+            for v in range(nv):
+                maskd = None
+                for bb, o in oh.items():
+                    if plan.dofmask[bb, v]:
+                        maskd = o if maskd is None else maskd + o
+                if maskd is None:
+                    for t in range(3):
+                        jt[t][v] = jnp.zeros_like(dist)
+                    continue
+                ax = cdof(v, 0)[None]
+                ay = cdof(v, 1)[None]
+                az = cdof(v, 2)[None]
+                jp0 = (ay * offz - az * offy + cdof(v, 3)[None]) * maskd
+                jp1 = (az * offx - ax * offz + cdof(v, 4)[None]) * maskd
+                jp2 = (ax * offy - ay * offx + cdof(v, 5)[None]) * maskd
+                if plan.uniform:
+                    for t in range(3):
+                        jt[t][v] = (
+                            frame_c[t][0] * jp0
+                            + frame_c[t][1] * jp1
+                            + frame_c[t][2] * jp2
+                        )
+                else:
+                    for t in range(3):
+                        jt[t][v] = (
+                            frame[:, 3 * t + 0, :] * jp0
+                            + frame[:, 3 * t + 1, :] * jp1
+                            + frame[:, 3 * t + 2, :] * jp2
+                        )
+
+            for v in range(nv):
+                jn, j1, j2 = jt[0][v], jt[1][v], jt[2][v]
+                fac = jnp.stack(
+                    [jn + mu1 * j1, jn - mu1 * j1,
+                     jn + mu2 * j2, jn - mu2 * j2],
+                    axis=1,
+                )  # (ncon, 4, E)
+                J_parts[v].append(fac.reshape(4 * ncon, E))
+
+            def rep4(x):  # (ncon, E) -> (4*ncon, E) per-contact repeat
+                return jnp.stack([x, x, x, x], axis=1).reshape(4 * ncon, E)
+
+            if plan.uniform:
+                pos_c = dist - plan.c_margin
+                kc, bc, impc = _kbi_static(
+                    plan, plan.c_solref, plan.c_solimp, pos_c
+                )
+                kc = kc if hasattr(kc, "shape") else jnp.full_like(pos_c, kc)
+                bc = bc if hasattr(bc, "shape") else jnp.full_like(pos_c, bc)
+                mu0 = mu1
+                act_c = (dist < plan.c_margin).astype(f32)
+            else:
+                pos_c = dist - marg
+                kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
+                mu0 = fric[:, 0, :]
+                act_c = (dist < marg).astype(f32)
+            riw_c = iwt * (2.0 * mu0 * mu0 * (1.0 + mu0 * mu0))
+
+            pos_parts.append(rep4(pos_c))
+            k_parts.append(rep4(kc))
+            b_parts.append(rep4(bc))
+            imp_parts.append(rep4(impc))
+            riw_parts.append(rep4(riw_c))
+            act_parts.append(rep4(act_c))
+            floss_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
+            meq_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
+            mfl_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
+            muni_parts.append(jnp.ones((4 * ncon, E), dtype=f32))
+
+        # ------------------------------------------------------------------
+        # stitch rows and finish quantities
+        # ------------------------------------------------------------------
+        J = [jnp.concatenate(J_parts[v], axis=0) for v in range(nv)]
+        pos = jnp.concatenate(pos_parts, axis=0)
+        k = jnp.concatenate(k_parts, axis=0)
+        b = jnp.concatenate(b_parts, axis=0)
+        imp = jnp.concatenate(imp_parts, axis=0)
+        riw = jnp.concatenate(riw_parts, axis=0)
+        act = jnp.concatenate(act_parts, axis=0)
+        floss = jnp.concatenate(floss_parts, axis=0)
+        meq = jnp.concatenate(meq_parts, axis=0)
+        mfl = jnp.concatenate(mfl_parts, axis=0)
+        muni = jnp.concatenate(muni_parts, axis=0)
+
+        vel = J[0] * qvel[0][None]
+        for v in range(1, nv):
+            vel = vel + J[v] * qvel[v][None]
+        aref = -b * vel - k * imp * pos
+        R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, MINVAL) * riw, MINVAL)
+        D = 1.0 / R
+
+        x, force = pn.solve_core(
+            J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
+            nv, iterations, ls_iterations,
+        )
+
+        x_ref[...] = x
+        force_ref[...] = force
+        qfrc_ref[...] = jnp.stack(
+            [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
+        )
+        asm_ref[...] = asm
+
+    return kernel
+
+
+def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
+                   cdof, com, M, qfs, ws, cargs):
+    """Batched entry: env-major inputs, env-last kernel. cargs is the
+    (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
+    E = qpos.shape[0]
+    Ep = ((E + _BE - 1) // _BE) * _BE
+    f32 = jnp.float32
+
+    def tl(x):  # env-major -> env-last (+pad), tiled-transpose kernel
+        x = play.moveaxis0_last(x.astype(f32))
+        if Ep != E:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
+        return x
+
+    nv, nq, ncon = plan.nv, plan.nq, plan.ncon
+    # pack the small per-env vectors into ONE wide array so the env-major ->
+    # env-last relayout is a single well-shaped tiled transpose (individual
+    # K<128 transposes fall back to XLA's ~9 GB/s copy loops and cost more
+    # than the whole kernel)
+    vec_pack = jnp.concatenate(
+        [
+            qpos.astype(f32), qvel.astype(f32),
+            cdof.reshape(E, nv * 6).astype(f32), com.astype(f32),
+            qfs.astype(f32), ws.astype(f32),
+        ],
+        axis=-1,
+    )
+    nvec = nq + nv + nv * 6 + 3 + nv + nv
+    ins = [tl(vec_pack), tl(M)]
+    specs = [
+        pl.BlockSpec((nvec, _BE), lambda e: (0, e), memory_space=pltpu.VMEM),
+        pl.BlockSpec((nv, nv, _BE), lambda e: (0, 0, e),
+                     memory_space=pltpu.VMEM),
+    ]
+    W = plan.pack_w
+    if ncon:
+        con_pack = cargs  # already packed (E, ncon, W) by fused_constraint
+        ins.append(tl(con_pack))
+        specs.append(
+            pl.BlockSpec((ncon, W, _BE), lambda e: (0, 0, e),
+                         memory_space=pltpu.VMEM)
+        )
+    else:
+        ins.append(jnp.zeros((1, W, Ep), f32))
+        specs.append(
+            pl.BlockSpec((1, W, _BE), lambda e: (0, 0, e),
+                         memory_space=pltpu.VMEM)
+        )
+
+    kernel = _make_fused_kernel(plan, iterations, ls_iterations)
+    row_spec = pl.BlockSpec((plan.nrows, _BE), lambda e: (0, e),
+                            memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((nv, _BE), lambda e: (0, e),
+                            memory_space=pltpu.VMEM)
+    x, force, qfrc, asm = pl.pallas_call(
+        kernel,
+        grid=(Ep // _BE,),
+        in_specs=specs,
+        out_specs=[vec_spec, row_spec, vec_spec, vec_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((nv, Ep), f32),
+            jax.ShapeDtypeStruct((plan.nrows, Ep), f32),
+            jax.ShapeDtypeStruct((nv, Ep), f32),
+            jax.ShapeDtypeStruct((nv, Ep), f32),
+        ],
+        interpret=pn._INTERPRET,
+    )(*ins)
+    back = lambda a: play.moveaxis_last0(a)[:E]
+    return back(x), back(force), back(qfrc), back(asm)
+
+
+_FUSED_CACHE: dict = {}
+
+
+def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int):
+    key = (id(plan), iterations, ls_iterations)
+    hit = _FUSED_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def solve_b(*args):
+        return _fused_batched(plan, iterations, ls_iterations,
+                              *args[:7], args[7])
+
+    @jax.custom_batching.custom_vmap
+    def solve(*args):
+        out = solve_b(*(a[None] for a in args))
+        return tuple(o[0] for o in out)
+
+    @solve.def_vmap
+    def _vmap(axis_size, in_batched, *args):
+        args = [
+            a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
+            for a, bt in zip(args, in_batched)
+        ]
+        return solve_b(*args), (True, True, True, True)
+
+    _FUSED_CACHE[key] = solve
+    return solve
+
+
+def maybe_plan(model: Model, data):
+    """The static gate for the fused path, shared by every forward stage
+    that specializes on it (skip factor_m / solve_m when the kernel will
+    do the M-solve itself)."""
+    import jax.numpy as _jnp
+
+    if data.qpos.dtype != _jnp.float32:
+        return None
+    if model.opt.iterations > 16 or model.opt.ls_iterations > 8:
+        return None
+    if not pn.pallas_enabled():
+        return None
+    return get_plan(model, data.contact)
+
+
+def fused_constraint(model: Model, data, plan: RowPlan):
+    """Drop-in for make_constraint + solver.solve on supported models.
+    Returns updated Data (qacc, qfrc_constraint, efc_force_contact)."""
+    solver_fn = get_fused_solver(
+        plan, model.opt.iterations, model.opt.ls_iterations
+    )
+    con = data.contact
+    dtype = data.qpos.dtype
+    ncon = plan.ncon
+    if ncon:
+        if plan.uniform:
+            fields = [
+                con.pos, con.dist[..., None],
+                con.geom2.astype(dtype)[..., None],
+            ]
+            if not plan.fric_uniform:
+                fields.append(con.friction[:, :2])
+        else:
+            gb = jnp.asarray(model.geom_bodyid)
+            biw = jnp.asarray(model.body_invweight0, dtype=dtype)[:, 0]
+            b1 = gb[con.geom1]
+            b2 = gb[con.geom2]
+            fields = [
+                con.pos, con.frame.reshape(ncon, 9), con.dist[..., None],
+                con.includemargin[..., None], con.friction[:, :2],
+                con.solref, con.solimp, (biw[b1] + biw[b2])[..., None],
+                b1.astype(dtype)[..., None], b2.astype(dtype)[..., None],
+            ]
+        con_pack = jnp.concatenate(
+            [f.astype(dtype) for f in fields], axis=-1
+        )  # (ncon, pack_w)
+    else:
+        con_pack = jnp.zeros((1, plan.pack_w), dtype)
+
+    com = data.subtree_com[plan.root]
+    x, force, qfrc, qacc_smooth = solver_fn(
+        data.qpos, data.qvel, data.cdof, com, data.qM,
+        data.qfrc_smooth, data.qacc_warmstart, con_pack,
+    )
+
+    efc_force_contact = data.efc_force_contact
+    if plan.ncon and efc_force_contact.shape[-1]:
+        maxd = efc_force_contact.shape[-1]
+        rowidx = np.zeros((plan.ncon, maxd), dtype=np.int32)
+        rowmsk = np.zeros((plan.ncon, maxd), dtype=bool)
+        for c in range(plan.ncon):
+            nrow = min(4, maxd)
+            rowidx[c, :nrow] = plan.con_efcadr[c] + np.arange(nrow)
+            rowmsk[c, :nrow] = True
+        efc_force_contact = jnp.where(
+            jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
+        )
+
+    return data.replace(
+        qacc=x.astype(dtype),
+        qacc_smooth=qacc_smooth.astype(dtype),
+        qfrc_constraint=qfrc.astype(dtype),
+        efc_force_contact=efc_force_contact.astype(dtype),
+    )

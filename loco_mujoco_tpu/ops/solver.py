@@ -255,6 +255,25 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
     # f64) keeps the convergent while_loop scheme.
     fast_path = model.opt.iterations <= 16 and model.opt.ls_iterations <= 8
 
+    # TPU: the whole fast-path solve (Hessian assembly, Cholesky, line
+    # search, all `iterations` rounds) runs as one fused Pallas kernel with
+    # J/M resident in VMEM — the XLA graph below re-streams J from HBM ~6x
+    # per iteration, which dominates the entire env step. Pyramidal-only
+    # (elliptic cone terms keep the XLA path).
+    if fast_path and not has_ell and dtype == jnp.float32:
+        from . import pallas_newton
+
+        if pallas_newton.pallas_enabled():
+            solver_fn = pallas_newton.get_solver(
+                efc, model.opt.iterations, model.opt.ls_iterations
+            )
+            x, force = solver_fn(
+                efc.J, M, aref, efc.D, efc.R, efc.floss,
+                efc.active.astype(dtype),
+                data.qacc_smooth, data.qacc_warmstart,
+            )
+            return _finish(data, efc, J, x, force)
+
     def newton_direction(x):
         jar = J @ x - aref
         q, tables = _quantities(model, efc, jar, dtype)
@@ -417,8 +436,13 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
 
     jar = J @ x - aref
     q, _ = _quantities(model, efc, jar, dtype)
-    qfrc = J.T @ q.force
-    # per-contact forces in contact-local row order, for GRF observation
+    return _finish(data, efc, J, x, q.force)
+
+
+def _finish(data: Data, efc: Efc, J, x, force) -> Data:
+    """Write the solution back: qacc, qfrc_constraint = J'f, and the
+    per-contact force rows used by the GRF observation."""
+    qfrc = J.T @ force
     nc = len(efc.con_efcadr)
     maxd = int(data.efc_force_contact.shape[1]) if nc else 0
     efc_force_contact = data.efc_force_contact
@@ -436,7 +460,7 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
             rowidx[c, :nrow] = adr + np.arange(nrow)
             rowmsk[c, :nrow] = True
         efc_force_contact = jnp.where(
-            jnp.asarray(rowmsk), q.force[jnp.asarray(rowidx)], 0.0
+            jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
         )
 
     return data.replace(

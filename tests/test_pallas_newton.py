@@ -1,0 +1,109 @@
+"""Parity of the Pallas Newton-solver kernels vs the XLA reference path.
+
+Runs the kernels in interpret mode on CPU (no TPU needed): the same
+batched HumanoidTorque states are pushed through `fwd_constraint` three
+ways — XLA reference, the plain solve kernel (J assembled by XLA), and the
+fused assembly+solve kernel — and the results must agree to f32 tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.ops import forward as fwd
+from loco_mujoco_tpu.ops import solver
+from loco_mujoco_tpu.ops import constraint as con
+from loco_mujoco_tpu.ops import pallas_newton as pn
+from loco_mujoco_tpu.ops import pallas_constraint as pc
+
+
+@pytest.fixture(autouse=True)
+def _f32_mode():
+    # the kernels are f32/TPU-only; the suite-wide x64 default promotes f32
+    # state through np-scalar constants and breaks the fixture rollout
+    with jax.enable_x64(False):
+        yield
+
+
+@pytest.fixture(scope="module")
+def humanoid_states():
+    with jax.enable_x64(False):
+        env = lmt.make(
+            "HumanoidTorque.run.real", debug=True, dtype=jnp.float32
+        )
+        st = jax.jit(jax.vmap(env.reset))(
+            jax.random.split(jax.random.PRNGKey(0), 4)
+        )
+        a = 0.1 * jax.random.normal(
+            jax.random.PRNGKey(1), (4, env.action_dim)
+        )
+        step = jax.jit(jax.vmap(env.step))
+        for _ in range(3):
+            st = step(st, a.astype(jnp.float32))
+    return env, st
+
+
+def _fc(m, d):
+    d2 = fwd.fwd_acceleration(
+        m, fwd.fwd_actuation(m, fwd.fwd_velocity(m, fwd.fwd_position(m, d)))
+    )
+    out = fwd.fwd_constraint(m, d2)
+    return out.qacc, out.qfrc_constraint, out.efc_force_contact
+
+
+def test_pallas_newton_kernels_match_xla(humanoid_states, monkeypatch):
+    env, st = humanoid_states
+    m = env.model
+    datas = st.data
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+
+    # reference: XLA path
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    # fused assembly+solve kernel
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.nrows > 0
+    fused = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    # plain solve kernel (J assembled by XLA): force the fused gate off
+    monkeypatch.setattr(pc, "get_plan", lambda *_: None)
+    plain = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
+    for got, name in ((fused, "fused"), (plain, "plain")):
+        for r, g, what in zip(ref, got, ("qacc", "qfrc", "efc_fc")):
+            err = float(jnp.max(jnp.abs(r - g)))
+            assert err / scale < 5e-4, (name, what, err, scale)
+
+
+def test_fused_plan_row_layout_matches_make_constraint(humanoid_states):
+    env, st = humanoid_states
+    m = env.model
+    d0 = jax.tree_util.tree_map(lambda l: l[0], st.data)
+    d0 = fwd.fwd_acceleration(
+        m, fwd.fwd_actuation(m, fwd.fwd_velocity(m, fwd.fwd_position(m, d0)))
+    )
+    efc = con.make_constraint(m, d0)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None
+    assert plan.nrows == efc.J.shape[0]
+    np.testing.assert_array_equal(plan.con_efcadr, efc.con_efcadr)
+    np.testing.assert_array_equal(plan.con_dim, efc.con_dim)
+    # row-class masks line up
+    assert plan.ne == int(np.sum(efc.is_bilateral))
+    assert plan.nfl == int(np.sum(efc.is_fl))
+
+
+def test_fused_plan_gates_out_elliptic():
+    env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 2)
+    )
+    d0 = jax.tree_util.tree_map(lambda l: l[0], st.data)
+    assert pc.get_plan(env.model, d0.contact) is None
