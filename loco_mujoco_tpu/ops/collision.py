@@ -279,6 +279,27 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
     dtype = data.qpos.dtype
     pid = g.pair_ids
 
+    # TPU: manifold selection AND the top-K slot pick run as chained Pallas
+    # kernels with env-last data throughout — the XLA argmin/one-hot-einsum
+    # chain below plus the per-pair manifold relayouts cost ~45 ms/step at
+    # 4096 envs
+    fused = _pallas_group_topk_fn(model, g, dtype)
+    if fused is not None:
+        topk_fn, pid_b = fused
+        pg1b = model.pair_geom1[pid_b]
+        pg2b = model.pair_geom2[pid_b]
+        gxp, gxm = data.geom_xpos, data.geom_xmat
+        n_b = gxm[pg1b][:, :, 2]
+        a = jnp.einsum("pij,pi->pj", gxm[pg2b], n_b)
+        b = jnp.sum(n_b * (gxp[pg2b] - gxp[pg1b]), axis=-1)
+        dist_s, pos, frame, meta = topk_fn(a, b, gxp, gxm)
+        frame = jnp.broadcast_to(frame[:, None], (g.k, 4, 3, 3))
+        return (
+            dist_s, pos, frame,
+            meta[:, 0].astype(jnp.int32), meta[:, 1].astype(jnp.int32),
+            meta[:, 2:7], meta[:, 7:9], meta[:, 9:14], meta[:, 14],
+        )
+
     # bucket pairs by hull size: padding every pair to the group-max vertex
     # count wastes ~4x on typical robots (one 539-vert torso hull vs dozens
     # of <=128-vert limb hulls), and the all-pairs (P, V) maps are the cost
@@ -354,6 +375,96 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
 
 
 _PALLAS_SELECT_CACHE: dict = {}
+_PALLAS_TOPK_CACHE: dict = {}
+
+
+def _pallas_group_topk_fn(model: Model, g: Group, dtype):
+    """Cached fused select+topk fn for a plane-mesh group (or None when the
+    XLA path must run: non-TPU, f64, traced model tables, or k >= P — the
+    identity-OH ordering of the XLA path differs from sorted-by-depth)."""
+    if dtype != jnp.float32 or g.k >= len(g.pair_ids):
+        return None
+    from . import pallas_collision as pc
+
+    if not pc.pallas_enabled():
+        return None
+    if isinstance(model.mesh_vert, jax.core.Tracer) or isinstance(
+        model.pair_margin, jax.core.Tracer
+    ):
+        return None
+    try:
+        pid = np.asarray(g.pair_ids)
+        key = (
+            model.pair_geom1.tobytes(), model.pair_geom2.tobytes(),
+            pid.tobytes(), int(g.k),
+            np.asarray(model.mesh_vert).tobytes()[:64],
+            np.asarray(model.pair_margin).tobytes(),
+            np.asarray(model.pair_friction).tobytes(),
+        )
+    except Exception:
+        return None
+    hit = _PALLAS_TOPK_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    vcap = int(np.asarray(model.mesh_vertmask).shape[1])
+    pg2 = model.pair_geom2[pid]
+    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
+    vraw = np.asarray(model.mesh_vert)[mesh_ids, :vcap]
+    vmask = np.asarray(model.mesh_vertmask)[mesh_ids, :vcap]
+    verts = np.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(
+        np.float32
+    )
+    counts = vmask.sum(axis=1)
+
+    # vertex sub-buckets (same packing as make_plane_mesh_select), with the
+    # pair order REARRANGED to bucket-major so the kernel consumes the
+    # concatenated per-bucket outputs directly
+    def bucket_size(c):
+        c = max(int(c), 8)
+        s = 32
+        while s < c:
+            s += 32
+        return min(s, ((verts.shape[1] + 7) // 8) * 8)
+
+    buckets: dict = {}
+    for p in range(len(pid)):
+        buckets.setdefault(bucket_size(counts[p]), []).append(p)
+    subs, order = [], []
+    margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
+    for vb, ids in sorted(buckets.items()):
+        ids = np.asarray(ids)
+        vt = np.zeros((len(ids), 3, vb), np.float32)
+        src = np.moveaxis(verts[ids], -1, 1)
+        vt[:, :, : min(vb, verts.shape[1])] = src[:, :, :vb]
+        if vb > verts.shape[1]:
+            vt[:, :, verts.shape[1]:] = vt[:, :, 0:1]
+        subs.append((ids, vt, tuple(float(m) for m in margin[ids])))
+        order.append(ids)
+    border = np.concatenate(order)  # bucket-major order within the group
+    pid_b = pid[border]
+
+    tbl = np.zeros((len(pid_b), 16), np.float32)
+    tbl[:, 0] = np.asarray(model.pair_margin)[pid_b]
+    tbl[:, 1] = model.pair_geom1[pid_b]
+    tbl[:, 2] = model.pair_geom2[pid_b]
+    tbl[:, 3:8] = np.asarray(model.pair_friction)[pid_b]
+    tbl[:, 8:10] = np.asarray(model.pair_solref)[pid_b]
+    tbl[:, 10:15] = np.asarray(model.pair_solimp)[pid_b]
+    tbl[:, 15] = (
+        np.asarray(model.pair_margin)[pid_b]
+        - np.asarray(model.pair_gap)[pid_b]
+    )
+
+    topk_fn = pc.make_group_topk(
+        subs, None,
+        [int(x) for x in model.pair_geom1[pid_b]],
+        [int(x) for x in model.pair_geom2[pid_b]],
+        tbl, int(g.k),
+    )
+    result = (topk_fn, pid_b)
+    _PALLAS_TOPK_CACHE[key] = result
+    return result
 
 
 def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):

@@ -151,7 +151,20 @@ def _kernel(verts_ref, a_ref, b_ref, marg_ref, dist_ref, vsel_ref):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def _select_batched(verts, a, b, margin_tuple):
-    """(P,3,V) static verts, (E,P,3) a, (E,P) b -> dist4 (E,P,4), idx4."""
+    """(P,3,V) static verts, (E,P,3) a, (E,P) b -> dist4 (E,P,4), vsel."""
+    E = b.shape[0]
+    dist, vsel = _select_batched_raw(verts, a, b, margin_tuple)
+    from . import pallas_layout as play
+
+    dist = play.moveaxis_last0(dist[:, :, :E])  # (E, P, 4)
+    vsel = play.moveaxis_last0(vsel[:, :, :E]).reshape(E, -1, 4, 3)
+    return dist, vsel
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _select_batched_raw(verts, a, b, margin_tuple):
+    """Like _select_batched but returns env-LAST (P, 4, Ep), (P, 12, Ep) —
+    feeding downstream kernels without the relayout."""
     E, P = b.shape
     V = verts.shape[2]
     BE = 256
@@ -196,11 +209,7 @@ def _select_batched(verts, a, b, margin_tuple):
             jax.ShapeDtypeStruct((Pp, 12, Ep), jnp.float32),
         ],
     )(verts, at, bt, marg)
-    from . import pallas_layout as play
-
-    dist = play.moveaxis_last0(dist[:P, :, :E])  # (E, P, 4)
-    vsel = play.moveaxis_last0(vsel[:P, :, :E]).reshape(E, P, 4, 3)
-    return dist, vsel
+    return dist[:P], vsel[:P]
 
 
 def make_plane_mesh_select(
@@ -264,3 +273,184 @@ def make_plane_mesh_select(
         return _select_buckets(a, b), (True, True)
 
     return select
+
+
+# ---------------------------------------------------------------------------
+# fused group top-K: per-pair manifolds -> per-slot contact data, no
+# env-major round trip
+# ---------------------------------------------------------------------------
+def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
+    """Kernel: pick the k deepest pairs and emit their slot data.
+
+    Replaces the XLA argmin/one-hot-einsum chain, which cost ~45 ms/step at
+    4096 envs in (E, 75)-shaped small ops and forced the full per-pair
+    manifold tensors through env-major relayouts."""
+
+    def kernel(dist_ref, vsel_ref, gxp_ref, gxm_ref, tbl_ref,
+               ds_ref, pos_ref, fr_ref, meta_ref):
+        f32 = jnp.float32
+        dist = dist_ref[...]   # (P, 4, BE)
+        vsel = vsel_ref[...]   # (P, 12, BE)  (4 verts x xyz, mesh-local)
+        tbl = tbl_ref[...]     # (P, 16, 1) static per-pair values
+
+        # per-pair plane normal / mesh pose via static geom indices
+        n_all = jnp.stack(
+            [jnp.stack([gxm_ref[g, 3 * i + 2] for i in range(3)])
+             for g in pg1]
+        )  # (P, 3, BE)
+        qp_all = jnp.stack([gxp_ref[g] for g in pg2])  # (P, 3, BE)
+        qR_all = jnp.stack([gxm_ref[g] for g in pg2])  # (P, 9, BE)
+
+        key = dist[:, 0, :] - tbl[:, 0]  # (P, BE); tbl col 0 = pair margin
+        iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(f32)
+
+        ds_rows, pos_rows, fr_rows, meta_rows = [], [], [], []
+        for s in range(k):
+            m = jnp.min(key, axis=0, keepdims=True)  # (1, BE)
+            i = jnp.min(
+                jnp.where(key == m, iota, float(P)), axis=0, keepdims=True
+            )
+            oh = (iota == i).astype(f32)  # (P, BE)
+            key = jnp.where(oh > 0, _BIG, key)
+
+            ohe = oh[:, None, :]
+            dsel = jnp.sum(ohe * dist, axis=0)        # (4, BE)
+            vs = jnp.sum(ohe * vsel, axis=0)          # (12, BE)
+            n = jnp.sum(ohe * n_all, axis=0)          # (3, BE)
+            qp = jnp.sum(ohe * qp_all, axis=0)        # (3, BE)
+            qR = jnp.sum(ohe * qR_all, axis=0)        # (9, BE)
+            meta = jnp.sum(ohe * tbl[:, 1:, :], axis=0)  # (15, BE)
+
+            # world positions: w = qp + R v; pos = w - n * dist/2
+            pos_f = []
+            for f in range(4):
+                d2 = 0.5 * dsel[f]
+                for i3 in range(3):
+                    w = (
+                        qp[i3]
+                        + qR[3 * i3 + 0] * vs[3 * f + 0]
+                        + qR[3 * i3 + 1] * vs[3 * f + 1]
+                        + qR[3 * i3 + 2] * vs[3 * f + 2]
+                    )
+                    pos_f.append(w - n[i3] * d2)
+            # contact frame from n (mju_makeFrame convention)
+            use_y = jnp.abs(n[1]) < 0.5
+            ax = [
+                jnp.where(use_y, 0.0, 0.0),
+                jnp.where(use_y, 1.0, 0.0),
+                jnp.where(use_y, 0.0, 1.0),
+            ]
+            ndot = n[0] * ax[0] + n[1] * ax[1] + n[2] * ax[2]
+            t1 = [ax[i3] - n[i3] * ndot for i3 in range(3)]
+            t1n = jnp.maximum(
+                jnp.sqrt(t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2]),
+                1e-15,
+            )
+            t1 = [t / t1n for t in t1]
+            t2 = [
+                n[1] * t1[2] - n[2] * t1[1],
+                n[2] * t1[0] - n[0] * t1[2],
+                n[0] * t1[1] - n[1] * t1[0],
+            ]
+            ds_rows.append(dsel)
+            pos_rows.append(jnp.stack(pos_f))
+            fr_rows.append(jnp.stack([n[0], n[1], n[2], *t1, *t2]))
+            meta_rows.append(meta)
+
+        ds_ref[...] = jnp.stack(ds_rows)      # (k, 4, BE)
+        pos_ref[...] = jnp.stack(pos_rows)    # (k, 12, BE)
+        fr_ref[...] = jnp.stack(fr_rows)      # (k, 9, BE)
+        meta_ref[...] = jnp.stack(meta_rows)  # (k, 15, BE)
+
+    return kernel
+
+
+def make_group_topk(subs, inv, pg1, pg2, tbl, k):
+    """Factory for one plane-mesh group: per-pair manifold selection
+    (vertex-bucketed kernels) + in-kernel top-K slot selection.
+
+    subs/inv: vertex buckets from make_plane_mesh_select-style packing,
+    over pairs ALREADY in bucket order (inv maps back);
+    pg1/pg2: per-pair geom ids in bucket order; tbl (P, 16) static
+    [key_margin, g1, g2, friction(5), solref(2), solimp(5), margin-gap];
+    k: slots. Returns fn(a (P,3), b (P,), gxp (ngeom,3), gxm (ngeom,3,3))
+    -> (dist (k,4), pos (k,4,3), frame (k,3,3), meta (k,15)), batched via
+    custom_vmap. `a`/`b`/tbl rows are in ORIGINAL pair order."""
+    del inv  # tables are pre-reordered to bucket order by the caller
+    P = len(pg1)
+    BE = 128
+    tblc = np.asarray(tbl, np.float32)[:, :, None]  # (P, 16, 1)
+
+    def batched(a, b, gxp, gxm):
+        E = b.shape[0]
+        Ep = ((E + BE - 1) // BE) * BE
+        douts, souts = [], []
+        off = 0
+        for ids, vt, marg in subs:
+            d, s = _select_batched_raw(
+                vt, a[:, off:off + len(ids)], b[:, off:off + len(ids)], marg
+            )
+            douts.append(d)
+            souts.append(s)
+            off += len(ids)
+        dist = jnp.concatenate(douts, axis=0)  # (P, 4, Ep')
+        vsel = jnp.concatenate(souts, axis=0)
+        if dist.shape[-1] != Ep:
+            dist = dist[..., :Ep]
+            vsel = vsel[..., :Ep]
+
+        from . import pallas_layout as play
+
+        ngeom = gxp.shape[1]
+        gxp_t = play.moveaxis0_last(gxp.astype(jnp.float32))
+        gxm_t = play.moveaxis0_last(
+            gxm.reshape(E, ngeom, 9).astype(jnp.float32)
+        )
+        if Ep != E:
+            gxp_t = jnp.pad(gxp_t, ((0, 0), (0, 0), (0, Ep - E)))
+            gxm_t = jnp.pad(gxm_t, ((0, 0), (0, 0), (0, Ep - E)))
+
+        kernel = _topk_kernel_builder(P, k, pg1, pg2, ngeom)
+        gs = lambda *shape: pl.BlockSpec(
+            tuple(shape) + (BE,),
+            (lambda e: (0, e)) if len(shape) == 1 else (lambda e: (0, 0, e)),
+            memory_space=pltpu.VMEM,
+        )
+        ds, pos, fr, meta = pl.pallas_call(
+            kernel,
+            grid=(Ep // BE,),
+            in_specs=[
+                gs(P, 4), gs(P, 12), gs(ngeom, 3), gs(ngeom, 9),
+                pl.BlockSpec((P, 16, 1), lambda e: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[gs(k, 4), gs(k, 12), gs(k, 9), gs(k, 15)],
+            out_shape=[
+                jax.ShapeDtypeStruct((k, 4, Ep), jnp.float32),
+                jax.ShapeDtypeStruct((k, 12, Ep), jnp.float32),
+                jax.ShapeDtypeStruct((k, 9, Ep), jnp.float32),
+                jax.ShapeDtypeStruct((k, 15, Ep), jnp.float32),
+            ],
+        )(dist, vsel, gxp_t, gxm_t, jnp.asarray(tblc))
+        back = lambda x: play.moveaxis_last0(x[..., :E])
+        return (
+            back(ds),
+            back(pos).reshape(E, k, 4, 3),
+            back(fr).reshape(E, k, 3, 3),
+            back(meta),
+        )
+
+    @jax.custom_batching.custom_vmap
+    def topk(a, b, gxp, gxm):
+        out = batched(a[None], b[None], gxp[None], gxm[None])
+        return tuple(o[0] for o in out)
+
+    @topk.def_vmap
+    def _vmap(axis_size, in_batched, *args):
+        args = [
+            x if bt else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            for x, bt in zip(args, in_batched)
+        ]
+        return batched(*args), (True, True, True, True)
+
+    return topk
