@@ -54,14 +54,20 @@ def _exact_f32(fn):
 
 @_exact_f32
 def fwd_position(model: Model, data: Data) -> Data:
+    # static gate (depends only on the contact slot layout, which is
+    # identical before/after collision): when the fused constraint kernel
+    # runs, it builds M from cinert and does its own M-solves in VMEM — the
+    # XLA-side CRB and factorization would be dead code. RK4 models never
+    # read data.qM elsewhere; Euler models keep the XLA CRB for the
+    # implicit-damping update.
+    plan = _fused_plan(model, data)
     data = kinematics.kinematics(model, data)
     data = kinematics.com_pos(model, data)
     data = tendon.tendon(model, data)
-    data = inertia.crb(model, data)
+    if plan is None or model.opt.integrator != int(IntegratorType.RK4):
+        data = inertia.crb(model, data)
     data = coll_mod.collision(model, data)
-    # when the fused constraint kernel will run, it performs the M-solves
-    # itself (chol in VMEM) — the XLA-side factorization would be dead code
-    if _fused_plan(model, data) is None:
+    if plan is None:
         data = inertia.factor_m(model, data)
     return data
 

@@ -381,6 +381,15 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
     BE = 128
     tblc = np.asarray(tbl, np.float32)[:, :, None]  # (P, 16, 1)
 
+    # only the group's geoms' poses are needed — subset before the env-last
+    # relayout (transposing the full (E, ngeom, 12) pose tables cost ~25
+    # ms/step at 4096 envs; a plane-mesh group touches ~13 distinct geoms)
+    used = sorted(set(pg1) | set(pg2))
+    lid = {g: i for i, g in enumerate(used)}
+    pg1_l = [lid[g] for g in pg1]
+    pg2_l = [lid[g] for g in pg2]
+    used_idx = np.asarray(used)
+
     def batched(a, b, gxp, gxm):
         E = b.shape[0]
         Ep = ((E + BE - 1) // BE) * BE
@@ -401,16 +410,16 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
 
         from . import pallas_layout as play
 
-        ngeom = gxp.shape[1]
-        gxp_t = play.moveaxis0_last(gxp.astype(jnp.float32))
+        nused = len(used)
+        gxp_t = play.moveaxis0_last(gxp[:, used_idx].astype(jnp.float32))
         gxm_t = play.moveaxis0_last(
-            gxm.reshape(E, ngeom, 9).astype(jnp.float32)
+            gxm[:, used_idx].reshape(E, nused, 9).astype(jnp.float32)
         )
         if Ep != E:
             gxp_t = jnp.pad(gxp_t, ((0, 0), (0, 0), (0, Ep - E)))
             gxm_t = jnp.pad(gxm_t, ((0, 0), (0, 0), (0, Ep - E)))
 
-        kernel = _topk_kernel_builder(P, k, pg1, pg2, ngeom)
+        kernel = _topk_kernel_builder(P, k, pg1_l, pg2_l, nused)
         gs = lambda *shape: pl.BlockSpec(
             tuple(shape) + (BE,),
             (lambda e: (0, e)) if len(shape) == 1 else (lambda e: (0, 0, e)),
@@ -420,7 +429,7 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
             kernel,
             grid=(Ep // BE,),
             in_specs=[
-                gs(P, 4), gs(P, 12), gs(ngeom, 3), gs(ngeom, 9),
+                gs(P, 4), gs(P, 12), gs(nused, 3), gs(nused, 9),
                 pl.BlockSpec((P, 16, 1), lambda e: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],

@@ -169,6 +169,28 @@ class RowPlan:
         self.body_iw = [float(x) for x in body_iw[:, 0]]
         self.root = int(roots[1]) if model.nbody > 1 else 0
 
+        # in-kernel CRB: bottom-up subtree order + static tree tables (the
+        # XLA crb + the qM relayout cost more than building M from cinert
+        # inside the kernel)
+        parent = [int(b) for b in np.asarray(model.body_parentid)]
+        self.body_parent = parent
+        self.topo_rev = sorted(range(1, model.nbody), reverse=True)
+        # children always have larger ids than parents in put_model's
+        # ordering; verify, else fall back to an explicit topological sort
+        ok_order = all(parent[b] < b for b in range(1, model.nbody))
+        if not ok_order:
+            order, seen = [], {0}
+            pending = list(range(1, model.nbody))
+            while pending:
+                for b in list(pending):
+                    if parent[b] in seen:
+                        order.append(b)
+                        seen.add(b)
+                        pending.remove(b)
+            self.topo_rev = list(reversed(order))
+        self.dof_bodyid = [int(b) for b in np.asarray(model.dof_bodyid)]
+        self.anc = np.asarray(model.dof_ancestor_mask, dtype=bool)
+
         # static Efc-compatible metadata (for GRF row extraction)
         base = self.ne + self.nfl + self.nl
         self.con_efcadr = np.asarray(
@@ -373,9 +395,10 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
 
     nq = plan.nq
 
-    def kernel(vp_ref, M_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref):
+    def kernel(vp_ref, ci_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref):
         # vp: packed per-env vectors (see _fused_batched):
-        #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)]
+        #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)
+        #    armature(nv)]
         vp = vp_ref[...]
         qpos = vp[0:nq]                      # (nq, BE)
         qvel = vp[nq:nq + nv]                # (nv, BE)
@@ -384,11 +407,53 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
         com = vp[o_com:o_com + 3]            # (3, BE)
         o_qfs = o_com + 3
         o_ws = o_qfs + nv
+        o_arm = o_ws + nv
 
         def cdof(v, i):  # (BE,)
             return vp[o_cd + v * 6 + i]
 
-        M = M_ref[...]
+        # --- composite rigid body: build M from cinert in VMEM (the XLA
+        # crb einsums + the dense qM relayout cost ~20 ms/step) ---
+        ci = ci_ref[...]  # (nbody, 10, BE)
+        crb = [ci[b] for b in range(plan.nbody)]  # (10, BE) each
+        for b in plan.topo_rev:  # children accumulate into parents
+            p = plan.body_parent[b]
+            crb[p] = crb[p] + crb[b]
+
+        buf = []  # per dof: force vector (6 rows of (BE,))
+        for v in range(nv):
+            c = crb[plan.dof_bodyid[v]]
+            w0, w1, w2 = cdof(v, 0), cdof(v, 1), cdof(v, 2)
+            l0, l1, l2 = cdof(v, 3), cdof(v, 4), cdof(v, 5)
+            iw0 = c[0] * w0 + c[3] * w1 + c[4] * w2
+            iw1 = c[3] * w0 + c[1] * w1 + c[5] * w2
+            iw2 = c[4] * w0 + c[5] * w1 + c[2] * w2
+            mc0, mc1, mc2, m = c[6], c[7], c[8], c[9]
+            buf.append([
+                iw0 + (mc1 * l2 - mc2 * l1),
+                iw1 + (mc2 * l0 - mc0 * l2),
+                iw2 + (mc0 * l1 - mc1 * l0),
+                m * l0 - (mc1 * w2 - mc2 * w1),
+                m * l1 - (mc2 * w0 - mc0 * w2),
+                m * l2 - (mc0 * w1 - mc1 * w0),
+            ])
+
+        zero_be = qpos[0] * 0.0
+        Mll = [[None] * nv for _ in range(nv)]
+        for a in range(nv):
+            for b2 in range(a + 1):
+                if plan.anc[a, b2] or plan.anc[b2, a]:
+                    s = buf[a][0] * cdof(b2, 0)
+                    for i in range(1, 6):
+                        s = s + buf[a][i] * cdof(b2, i)
+                else:
+                    s = zero_be
+                if a == b2:
+                    s = s + vp[o_arm + a]
+                Mll[a][b2] = s
+                Mll[b2][a] = s
+        M = jnp.stack([jnp.stack(r) for r in Mll])  # (nv, nv, BE)
+
         # the smooth acceleration M^-1 qfrc_smooth is solved HERE rather
         # than upstream: it keeps the unrolled Cholesky chain (the only
         # consumer of qLD on this path) out of the XLA graph entirely
@@ -651,7 +716,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
 
 
 def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
-                   cdof, com, M, qfs, ws, cargs):
+                   cdof, com, cinert, qfs, ws, arm, cargs):
     """Batched entry: env-major inputs, env-last kernel. cargs is the
     (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
     E = qpos.shape[0]
@@ -673,15 +738,15 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
         [
             qpos.astype(f32), qvel.astype(f32),
             cdof.reshape(E, nv * 6).astype(f32), com.astype(f32),
-            qfs.astype(f32), ws.astype(f32),
+            qfs.astype(f32), ws.astype(f32), arm.astype(f32),
         ],
         axis=-1,
     )
-    nvec = nq + nv + nv * 6 + 3 + nv + nv
-    ins = [tl(vec_pack), tl(M)]
+    nvec = nq + nv + nv * 6 + 3 + nv + nv + nv
+    ins = [tl(vec_pack), tl(cinert)]
     specs = [
         pl.BlockSpec((nvec, _BE), lambda e: (0, e), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nv, nv, _BE), lambda e: (0, 0, e),
+        pl.BlockSpec((plan.nbody, 10, _BE), lambda e: (0, 0, e),
                      memory_space=pltpu.VMEM),
     ]
     W = plan.pack_w
@@ -732,7 +797,7 @@ def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int):
 
     def solve_b(*args):
         return _fused_batched(plan, iterations, ls_iterations,
-                              *args[:7], args[7])
+                              *args[:8], args[8])
 
     @jax.custom_batching.custom_vmap
     def solve(*args):
@@ -802,8 +867,9 @@ def fused_constraint(model: Model, data, plan: RowPlan):
 
     com = data.subtree_com[plan.root]
     x, force, qfrc, qacc_smooth = solver_fn(
-        data.qpos, data.qvel, data.cdof, com, data.qM,
-        data.qfrc_smooth, data.qacc_warmstart, con_pack,
+        data.qpos, data.qvel, data.cdof, com, data.cinert,
+        data.qfrc_smooth, data.qacc_warmstart,
+        jnp.asarray(model.dof_armature, dtype), con_pack,
     )
 
     efc_force_contact = data.efc_force_contact
