@@ -430,6 +430,8 @@ def _pallas_group_topk_fn(model: Model, g: Group, dtype):
     buckets: dict = {}
     for p in range(len(pid)):
         buckets.setdefault(bucket_size(counts[p]), []).append(p)
+    if max(buckets) > 896:
+        return None  # oversized hull: VMEM (see _pallas_select_fn)
     subs, order = [], []
     margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
     for vb, ids in sorted(buckets.items()):
@@ -472,6 +474,11 @@ def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):
     the XLA path must be used (non-TPU backend, f64 parity runs, or traced
     mesh vertices from stacked model variants)."""
     if dtype != jnp.float32:
+        return None
+    if vcap > 896:
+        # the selection holds ~12 live (V, 256) f32 maps in VMEM; a
+        # 3200-vertex hull (G1 pelvis) exceeds the 16 MB limit even at one
+        # pair per program — the XLA narrowphase handles such buckets
         return None
     from . import pallas_collision as pc
 

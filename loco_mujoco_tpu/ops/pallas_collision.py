@@ -168,7 +168,10 @@ def _select_batched_raw(verts, a, b, margin_tuple):
     E, P = b.shape
     V = verts.shape[2]
     BE = 256
-    PB = min(_PB, P)
+    # pairs per program scale inversely with hull size: the unrolled
+    # per-pair loop stack-allocates its (V, BE) maps, and a 3200-vertex
+    # hull at 16 pairs/program blows the 16 MB VMEM limit (observed on G1)
+    PB = max(1, min(_PB, P, int(4_000_000 // (V * BE * 4))))
     Pp = ((P + PB - 1) // PB) * PB
     Ep = ((E + BE - 1) // BE) * BE
     at = jnp.moveaxis(a, 0, -1)  # (P, 3, E)

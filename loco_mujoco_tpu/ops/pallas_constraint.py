@@ -162,6 +162,11 @@ class RowPlan:
         self.nrows = self.ne + self.nfl + self.nl + self.ncrow
         if self.nrows == 0:
             return
+        if self.nrows > 280:
+            # VMEM budget: J + row quantities at (nrows, 128) f32 — beyond
+            # ~280 rows the Mosaic compiler fails (observed: G1's 320 rows
+            # crash tpu_compile_helper). Such models keep the XLA path.
+            return
 
         # dof chain table for in-kernel mask construction
         self.dofmask = dof_body_mask(model).astype(np.float64)  # (nbody, nv)

@@ -39,7 +39,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_collision import pallas_enabled  # noqa: F401  (re-exported)
 
-_BE = 128  # env block (one lane tile)
+_BE = 128  # env block (one lane tile; BE=256 measured ~6% slower —
+# the (nrows, BE) Hessian passes dominate and prefer the smaller tile)
 
 # tests set this to run the kernel in interpret mode on CPU (parity vs the
 # XLA fast path without TPU hardware)

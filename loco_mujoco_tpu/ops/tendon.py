@@ -6,9 +6,16 @@ only — validated at model build time in core/io.py). Length is the sum of
 segment lengths; the Jacobian row is assembled from per-site translation
 Jacobians, matching MuJoCo's mj_tendon.
 
-All segments across all tendons are processed as one flat batch of
-(point-Jacobian, direction) products — a few dense (nseg, 3, nv) einsums
-that vectorize cleanly over envs.
+TPU form: the per-site point Jacobian is never materialized. For a segment
+with unit direction u between sites A and B,
+
+    u . (J_B - J_A)[v] = mask_B[v] (cdof_ang[v] . (off_B x u)
+                                    + cdof_lin[v] . u)  -  (same for A)
+
+(scalar triple-product rotation), so the whole stage is two (nseg, 3) x
+(3, nv) matmuls plus masked elementwise work — the naive (nsites, nv, 3)
+cross-product tensors cost ~150 ms/step at 4096 envs on the muscle
+humanoid.
 """
 
 from __future__ import annotations
@@ -18,26 +25,29 @@ import numpy as np
 
 from ..core.types import Data, Model
 
+_TENDON_STATIC_CACHE: dict = {}
 
-def _site_jac_translation(model: Model, data: Data, site_ids: np.ndarray):
-    """Translation Jacobians (len(site_ids), 3, nv) for the given sites.
 
-    Same math as mj_jacSite's translational part: column d is
-    cdof_ang x (p - subtree_com[rootid]) + cdof_lin for dofs on the chain
-    from the site's body to the root, zero elsewhere.
-    """
+def _tendon_statics(model: Model):
+    """(site_ids, segs_t, segs_a, segs_b, maskA, maskB) — static tables."""
+    key = (
+        model.tendon_site.tobytes(), model.tendon_sitemask.tobytes(),
+        model.site_bodyid.tobytes(), model.body_parentid.tobytes(), model.nv,
+    )
+    hit = _TENDON_STATIC_CACHE.get(key)
+    if hit is not None:
+        return hit
+
     nv = model.nv
-    bodyids = model.site_bodyid[site_ids]
-    p = data.site_xpos[site_ids]  # (ns, 3)
+    site_ids = np.unique(model.tendon_site[model.tendon_sitemask])
+    site_slot = {int(s): i for i, s in enumerate(site_ids)}
 
-    # chain mask (ns, nv): dof d affects body b iff d is an ancestor dof of
-    # the body's last dof; build statically from body_dofadr/dof ancestry.
+    # per-site dof chain mask
     ns = len(site_ids)
     mask = np.zeros((ns, nv), dtype=bool)
+    bodyids = model.site_bodyid[site_ids]
     for i, b in enumerate(bodyids):
         b = int(b)
-        # the body's dof chain: take any dof of the deepest joint-bearing
-        # ancestor of b and include all its ancestors
         while b > 0 and model.body_dofnum[b] == 0:
             b = int(model.body_parentid[b])
         if b == 0:
@@ -45,30 +55,6 @@ def _site_jac_translation(model: Model, data: Data, site_ids: np.ndarray):
         d = int(model.body_dofadr[b]) + int(model.body_dofnum[b]) - 1
         mask[i] = model.dof_ancestor_mask[d]
 
-    offset = p[:, None, :] - data.subtree_com[model.body_rootid[bodyids]][:, None, :]
-    # (ns, nv, 3): angular part of cdof crossed with site offset + linear part
-    ang = jnp.broadcast_to(data.cdof[None, :, :3], (ns, nv, 3))
-    lin = jnp.broadcast_to(data.cdof[None, :, 3:], (ns, nv, 3))
-    jacp = jnp.cross(ang, offset) + lin
-    jacp = jnp.where(jnp.asarray(mask)[:, :, None], jacp, 0.0)
-    return jacp  # (ns, nv, 3)
-
-
-def tendon(model: Model, data: Data) -> Data:
-    """Tendon lengths and Jacobians (ten_length, ten_J)."""
-    if model.ntendon == 0:
-        return data
-
-    dtype = data.qpos.dtype
-    nv = model.nv
-
-    # all sites referenced by any tendon path, deduplicated
-    site_ids = np.unique(model.tendon_site[model.tendon_sitemask])
-    site_slot = {int(s): i for i, s in enumerate(site_ids)}
-    jacp = _site_jac_translation(model, data, site_ids)  # (ns, nv, 3)
-    pos = data.site_xpos[site_ids]  # (ns, 3)
-
-    # flat segment list: (tendon_id, slot0, slot1) for consecutive site pairs
     segs_t, segs_a, segs_b = [], [], []
     for t in range(model.ntendon):
         path = model.tendon_site[t][model.tendon_sitemask[t]]
@@ -79,23 +65,60 @@ def tendon(model: Model, data: Data) -> Data:
     segs_t = np.asarray(segs_t)
     segs_a = np.asarray(segs_a)
     segs_b = np.asarray(segs_b)
+    # selection matrices: dynamic gathers/scatters by static indices lower
+    # to scalar-unit loops on TPU (the segs_t scatter-add alone cost ~90
+    # ms/step); as 0/1 matmuls they ride the MXU
+    nseg = len(segs_t)
+    ns = len(site_ids)
+    GA = np.zeros((nseg, ns))
+    GB = np.zeros((nseg, ns))
+    GA[np.arange(nseg), segs_a] = 1.0
+    GB[np.arange(nseg), segs_b] = 1.0
+    S = np.zeros((model.ntendon, nseg))
+    S[segs_t, np.arange(nseg)] = 1.0
+    out = (
+        site_ids, GA, GB, S,
+        mask[segs_a].astype(np.float64), mask[segs_b].astype(np.float64),
+    )
+    _TENDON_STATIC_CACHE[key] = out
+    return out
 
-    d = pos[segs_b] - pos[segs_a]  # (nseg, 3)
+
+def tendon(model: Model, data: Data) -> Data:
+    """Tendon lengths and Jacobians (ten_length, ten_J)."""
+    if model.ntendon == 0:
+        return data
+
+    dtype = data.qpos.dtype
+    site_ids, GA, GB, S, maskA, maskB = _tendon_statics(model)
+    GA = jnp.asarray(GA, dtype)
+    GB = jnp.asarray(GB, dtype)
+    S = jnp.asarray(S, dtype)
+
+    pos = data.site_xpos[site_ids]  # (ns, 3) — static-index gather
+    root_com = data.subtree_com[model.body_rootid[model.site_bodyid[site_ids]]]
+    off = pos - root_com  # (ns, 3) site offset from the com reference
+
+    posA = GA @ pos  # (nseg, 3)
+    posB = GB @ pos
+    d = posB - posA
     norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
     vec = d / jnp.maximum(norm, 1e-12)
-
     seg_len = norm[:, 0]  # (nseg,)
-    # segment Jacobian row: vec . (J_b - J_a)
-    seg_jac = jnp.einsum(
-        "si,svi->sv", vec, jacp[segs_b] - jacp[segs_a]
-    )  # (nseg, nv)
 
-    ten_length = (
-        jnp.zeros(model.ntendon, dtype=dtype).at[segs_t].add(seg_len)
-    )
-    ten_j = (
-        jnp.zeros((model.ntendon, nv), dtype=dtype).at[segs_t].add(seg_jac)
-    )
+    # u . (J_B - J_A) without the (ns, nv, 3) point-Jacobian tensor:
+    # cdof_ang . (off x u) + cdof_lin . u per endpoint, chain-masked
+    ang = data.cdof[:, :3]  # (nv, 3)
+    lin = data.cdof[:, 3:]
+    cA = jnp.cross(GA @ off, vec)  # (nseg, 3)
+    cB = jnp.cross(GB @ off, vec)
+    lin_term = vec @ lin.T  # (nseg, nv)
+    mA = jnp.asarray(maskA, dtype)
+    mB = jnp.asarray(maskB, dtype)
+    seg_jac = mB * (cB @ ang.T + lin_term) - mA * (cA @ ang.T + lin_term)
+
+    ten_length = S @ seg_len
+    ten_j = S @ seg_jac
     return data.replace(ten_length=ten_length, ten_J=ten_j)
 
 
