@@ -6,9 +6,9 @@ envs/host on HumanoidTorque.run (1 kHz physics, n_substeps=10 -> each
 env-step is 10 physics steps; RK4, box feet, Newton contacts).
 
 The rollout is a sequence of jitted batched step calls (async dispatch
-hides per-call latency — measured ~0.03 ms/call vs ~100 ms/step of
-device work, so this equals scanned throughput; the scan form tickles
-a TPU runtime fault at 4096 envs on the current toolchain).
+hides per-call latency — measured ~0.03 ms/call vs ~140 ms/step of
+device work, so this equals scanned throughput; verified equal to the
+lax.scan form on-chip).
 """
 
 import json
