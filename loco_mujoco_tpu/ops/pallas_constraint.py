@@ -62,9 +62,13 @@ class RowPlan:
     def __init__(self, model: Model, con_dim, ncon):
         self.ok = False
         opt = model.opt
-        if ncon and opt.cone == int(ConeType.ELLIPTIC):
-            return
-        if ncon and any(int(d) != 3 for d in np.asarray(con_dim)):
+        self.elliptic = bool(ncon) and opt.cone == int(ConeType.ELLIPTIC)
+        dims = [int(d) for d in np.asarray(con_dim)] if ncon else []
+        if self.elliptic:
+            # elliptic cones (A1): any MuJoCo condim; dim rows per slot
+            if any(d not in (1, 3, 4, 6) for d in dims):
+                return
+        elif ncon and any(d != 3 for d in dims):
             return
         roots = np.asarray(model.body_rootid)
         if roots[1:].size and not np.all(roots[1:] == roots[1]):
@@ -158,14 +162,36 @@ class RowPlan:
         self.ne = len(self.eq)
         self.nfl = len(self.fl)
         self.nl = len(self.lim)
-        self.ncrow = 4 * self.ncon  # condim-3 pyramid: 4 facet rows/slot
+        self.impratio = float(impratio)
+        # rows per slot: dim-3 pyramid = 4 facets; elliptic = dim rows;
+        # frictionless (dim 1) = 1 unilateral row
+        self.con_dims = dims[: self.ncon]
+        self.rows_per = [
+            1 if d == 1 else (d if self.elliptic else 4)
+            for d in self.con_dims
+        ]
+        self.ncrow = sum(self.rows_per)
         self.nrows = self.ne + self.nfl + self.nl + self.ncrow
         if self.nrows == 0:
             return
-        if self.nrows > 280:
+        if self.nrows > 280 and not self.elliptic:
             # VMEM budget: J + row quantities at (nrows, 128) f32 — beyond
-            # ~280 rows the Mosaic compiler fails (observed: G1's 320 rows
-            # crash tpu_compile_helper). Such models keep the XLA path.
+            # ~280 rows the Mosaic compiler failed on the pyramidal kernel
+            # (observed: G1's 320 rows crash tpu_compile_helper). Such
+            # models keep the XLA path.
+            return
+        # elliptic (A1: 306 rows, nv=18): gate on a VMEM estimate instead —
+        # J tiles + row quantities + Hessian/Cholesky + rank-1 tiles +
+        # double-buffered inputs, f32 at BE=128 lanes
+        est = 4 * _BE * (
+            self.nrows * (model.nv + 14)
+            + 3 * model.nv * model.nv
+            + (2 * self.ncon * model.nv if self.elliptic else 0)
+            + self.ncon * 32
+            + model.nbody * 20
+            + 8 * model.nv
+        )
+        if est > 11 * 2**20:
             return
 
         # dof chain table for in-kernel mask construction
@@ -198,10 +224,28 @@ class RowPlan:
 
         # static Efc-compatible metadata (for GRF row extraction)
         base = self.ne + self.nfl + self.nl
-        self.con_efcadr = np.asarray(
-            [base + 4 * c for c in range(self.ncon)], dtype=np.int32
-        )
-        self.con_dim = np.full(self.ncon, 3, dtype=np.int32)
+        adr = base
+        efcadr = []
+        for r in self.rows_per:
+            efcadr.append(adr)
+            adr += r
+        self.con_efcadr = np.asarray(efcadr, dtype=np.int32)
+        self.con_dim = np.asarray(self.con_dims, dtype=np.int32)
+
+        # elliptic runs: contiguous equal-dim slots with dim >= 3, as
+        # (row_start, n_contacts, dim) for the solver's cone-zone pass
+        self.ell_runs = []
+        if self.elliptic:
+            i = 0
+            while i < self.ncon:
+                d = self.con_dims[i]
+                j = i
+                while j < self.ncon and self.con_dims[j] == d:
+                    j += 1
+                if d >= 3:
+                    self.ell_runs.append((int(efcadr[i]), j - i, d))
+                i = j
+        self.ell_runs = tuple(self.ell_runs)
 
         # --- uniform contact statics -------------------------------------
         # Every shipped robot collides against ONE static world plane with
@@ -212,7 +256,7 @@ class RowPlan:
         # bodyid2(1) [+friction(2) when pair friction varies], which is
         # most of the kernel-input relayout traffic.
         self.uniform = False
-        if self.ncon:
+        if self.ncon and not self.elliptic:
             try:
                 self._check_uniform(model)
             except Exception:
@@ -295,13 +339,19 @@ class RowPlan:
         self.uniform = True
 
     @property
+    def nfric(self):
+        """Friction components packed per slot (5 covers condim-6 elliptic
+        torsional+rolling rows; pyramidal dim-3 needs only the 2 sliding)."""
+        return 5 if self.elliptic else 2
+
+    @property
     def pack_w(self):
         """Width of the packed per-slot contact input."""
         if not self.ncon:
             return 1
         if self.uniform:
             return 5 + (0 if self.fric_uniform else 2)
-        return 26
+        return 24 + self.nfric
 
 
 _PLAN_CACHE: dict = {}
@@ -317,6 +367,7 @@ def get_plan(model: Model, contact):
             np.asarray(model.dof_frictionloss).tobytes()
             if _conc(model.dof_frictionloss) is not None else None,
             int(model.opt.cone), float(model.opt.timestep),
+            float(model.opt.impratio),
             int(model.opt.disableflags), dims,
         )
     except Exception:
@@ -475,13 +526,21 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
         ones1 = jnp.ones((1, E), dtype=f32)
 
         # ------------------------------------------------------------------
-        # per-group row pieces; every list entry is (n_group_rows, E)
+        # per-group row pieces; every J list entry is (n_group_rows, E).
+        # aref / R / act are finalized PER PART (one-hot rows read qvel
+        # directly; contact rows reuse per-axis velocities), so no full-row
+        # pos/k/b/imp/riw/mask arrays ever exist — the earlier masked
+        # formulation held 8 extra (nrows, E) arrays and blew the 16 MB
+        # scoped-VMEM budget on A1 (306 rows).
         # ------------------------------------------------------------------
         J_parts = [[] for _ in range(nv)]  # per dof
-        pos_parts, k_parts, b_parts, imp_parts = [], [], [], []
-        riw_parts = []   # R = (1-imp)/imp * riw  (per-row scale)
-        act_parts, floss_parts = [], []
-        meq_parts, mfl_parts, muni_parts = [], [], []
+        aref_parts, R_parts, act_parts = [], [], []
+
+        def finish_row(k, b, imp, pos, vel, iw):
+            aref_parts.append(-b * vel - k * imp * pos)
+            R_parts.append(jnp.maximum(
+                (1.0 - imp) / jnp.maximum(imp, MINVAL) * iw, MINVAL
+            ))
 
         # --- JOINT equalities ---
         for r in plan.eq:
@@ -500,32 +559,19 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
                     piece = add if piece is None else piece + add
                 J_parts[v].append(piece if piece is not None else zeros1)
             k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
-            pos_parts.append(pos)
-            k_parts.append(k if hasattr(k, "shape") else full(k))
-            b_parts.append(b if hasattr(b, "shape") else full(b))
-            imp_parts.append(imp)
-            riw_parts.append(full(r["iw"]))
+            vel = qvel[r["v1"]][None]
+            if r["m2"]:
+                vel = vel - dpoly * qvel[r["v2"]][None]
+            finish_row(k, b, imp, pos, vel, r["iw"])
             act_parts.append(ones1)
-            floss_parts.append(zeros1)
-            meq_parts.append(ones1)
-            mfl_parts.append(zeros1)
-            muni_parts.append(zeros1)
 
         # --- dof friction loss ---
         for r in plan.fl:
             for v in range(nv):
                 J_parts[v].append(ones1 if v == r["v"] else zeros1)
             k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], zeros1)
-            pos_parts.append(zeros1)
-            k_parts.append(k if hasattr(k, "shape") else full(k))
-            b_parts.append(b if hasattr(b, "shape") else full(b))
-            imp_parts.append(imp)
-            riw_parts.append(full(r["iw"]))
+            finish_row(k, b, imp, zeros1, qvel[r["v"]][None], r["iw"])
             act_parts.append(ones1)
-            floss_parts.append(full(r["floss"]))
-            meq_parts.append(zeros1)
-            mfl_parts.append(ones1)
-            muni_parts.append(zeros1)
 
         # --- joint limits ---
         for r in plan.lim:
@@ -539,18 +585,11 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
             for v in range(nv):
                 J_parts[v].append(sign if v == r["v"] else zeros1)
             k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
-            pos_parts.append(pos)
-            k_parts.append(k if hasattr(k, "shape") else full(k))
-            b_parts.append(b if hasattr(b, "shape") else full(b))
-            imp_parts.append(imp)
-            riw_parts.append(full(r["iw"]))
+            finish_row(k, b, imp, pos, sign * qvel[r["v"]][None], r["iw"])
             act_parts.append((dist < r["margin"]).astype(f32))
-            floss_parts.append(zeros1)
-            meq_parts.append(zeros1)
-            mfl_parts.append(zeros1)
-            muni_parts.append(ones1)
 
-        # --- contacts: condim-3 pyramidal facets ---
+        # --- contacts ---
+        mu_all = None
         if ncon:
             cp = cp_ref[...]  # (ncon, W, BE) packed per-slot fields
             if plan.uniform:
@@ -584,18 +623,19 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
                 if iwt is None:
                     iwt = jnp.zeros_like(dist)
             else:
-                # generic pack: [pos(3) frame(9) dist margin fric(2)
-                #                solref(2) solimp(5) iw_t bid1 bid2] = 26
+                # generic pack: [pos(3) frame(9) dist margin fric(nf)
+                #                solref(2) solimp(5) iw_t bid1 bid2]
+                nf = plan.nfric
                 cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
                 frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
                 dist = cp[:, 12, :]      # (ncon, BE)
                 marg = cp[:, 13, :]
-                fric = cp[:, 14:16, :]   # (ncon, 2, BE)
-                srefc = cp[:, 16:18, :]  # (ncon, 2, BE)
-                simpc = cp[:, 18:23, :]  # (ncon, 5, BE)
-                iwt = cp[:, 23, :]       # (ncon, BE)
-                bid1 = cp[:, 24, :]
-                bid2 = cp[:, 25, :]
+                fric = cp[:, 14:14 + nf, :]   # (ncon, nf, BE)
+                srefc = cp[:, 14 + nf:16 + nf, :]  # (ncon, 2, BE)
+                simpc = cp[:, 16 + nf:21 + nf, :]  # (ncon, 5, BE)
+                iwt = cp[:, 21 + nf, :]       # (ncon, BE)
+                bid1 = cp[:, 22 + nf, :]
+                bid2 = cp[:, 23 + nf, :]
                 mu1 = fric[:, 0, :]
                 mu2 = fric[:, 1, :]
 
@@ -614,11 +654,13 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
             offz = cpos[:, 2, :] - com[2][None]
 
             jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
+            maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
             for v in range(nv):
                 maskd = None
                 for bb, o in oh.items():
                     if plan.dofmask[bb, v]:
                         maskd = o if maskd is None else maskd + o
+                maskd_of[v] = maskd
                 if maskd is None:
                     for t in range(3):
                         jt[t][v] = jnp.zeros_like(dist)
@@ -644,18 +686,6 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
                             + frame[:, 3 * t + 2, :] * jp2
                         )
 
-            for v in range(nv):
-                jn, j1, j2 = jt[0][v], jt[1][v], jt[2][v]
-                fac = jnp.stack(
-                    [jn + mu1 * j1, jn - mu1 * j1,
-                     jn + mu2 * j2, jn - mu2 * j2],
-                    axis=1,
-                )  # (ncon, 4, E)
-                J_parts[v].append(fac.reshape(4 * ncon, E))
-
-            def rep4(x):  # (ncon, E) -> (4*ncon, E) per-contact repeat
-                return jnp.stack([x, x, x, x], axis=1).reshape(4 * ncon, E)
-
             if plan.uniform:
                 pos_c = dist - plan.c_margin
                 kc, bc, impc = _kbi_static(
@@ -670,44 +700,155 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
                 kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
                 mu0 = fric[:, 0, :]
                 act_c = (dist < marg).astype(f32)
-            riw_c = iwt * (2.0 * mu0 * mu0 * (1.0 + mu0 * mu0))
 
-            pos_parts.append(rep4(pos_c))
-            k_parts.append(rep4(kc))
-            b_parts.append(rep4(bc))
-            imp_parts.append(rep4(impc))
-            riw_parts.append(rep4(riw_c))
-            act_parts.append(rep4(act_c))
-            floss_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
-            meq_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
-            mfl_parts.append(jnp.zeros((4 * ncon, E), dtype=f32))
-            muni_parts.append(jnp.ones((4 * ncon, E), dtype=f32))
+            # per-axis velocities (vel of any contact row is a combination)
+            vel_ax = []
+            for t in range(3):
+                s = jt[t][0] * qvel[0][None]
+                for v in range(1, nv):
+                    s = s + jt[t][v] * qvel[v][None]
+                vel_ax.append(s)  # (ncon, E)
+            kimp = kc * impc * pos_c
+            R_nc = jnp.maximum(
+                (1.0 - impc) / jnp.maximum(impc, MINVAL) * iwt, MINVAL
+            )
+
+            if not plan.elliptic:
+                # condim-3 pyramid: 4 facet rows per slot
+                for v in range(nv):
+                    jn, j1, j2 = jt[0][v], jt[1][v], jt[2][v]
+                    fac = jnp.stack(
+                        [jn + mu1 * j1, jn - mu1 * j1,
+                         jn + mu2 * j2, jn - mu2 * j2],
+                        axis=1,
+                    )  # (ncon, 4, E)
+                    J_parts[v].append(fac.reshape(4 * ncon, E))
+
+                def rep4(x):  # (ncon, E) -> (4*ncon, E) per-contact repeat
+                    return jnp.stack([x, x, x, x], axis=1).reshape(
+                        4 * ncon, E
+                    )
+
+                aref_parts.append(jnp.stack(
+                    [-bc * (vel_ax[0] + mu1 * vel_ax[1]) - kimp,
+                     -bc * (vel_ax[0] - mu1 * vel_ax[1]) - kimp,
+                     -bc * (vel_ax[0] + mu2 * vel_ax[2]) - kimp,
+                     -bc * (vel_ax[0] - mu2 * vel_ax[2]) - kimp],
+                    axis=1,
+                ).reshape(4 * ncon, E))
+                riw_f = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+                R_parts.append(rep4(jnp.maximum(R_nc * riw_f, MINVAL)))
+                act_parts.append(rep4(act_c))
+            else:
+                # elliptic cones: per contiguous equal-dim run, dim rows per
+                # slot (normal + tangentials [+ torsion/rolling]); friction
+                # rows get aref = -b*vel and the impratio-scaled R
+                # (constraint.py:444-452). Zone logic lives in solve_core.
+                mu_parts = []
+                i = 0
+                while i < ncon:
+                    d = plan.con_dims[i]
+                    j = i
+                    while j < ncon and plan.con_dims[j] == d:
+                        j += 1
+                    cnt = j - i
+                    sl = slice(i, j)
+                    if d == 1:
+                        # frictionless: one unilateral row
+                        for v in range(nv):
+                            J_parts[v].append(jt[0][v][sl])
+                        aref_parts.append(-bc[sl] * vel_ax[0][sl] - kimp[sl])
+                        R_parts.append(R_nc[sl])
+                        act_parts.append(act_c[sl])
+                        i = j
+                        continue
+                    # angular rows (torsion + rolling) only for this run's
+                    # slots — a full (ncon, E) ja per dof/axis would cost
+                    # another ~2 MB of VMEM on A1
+                    ja_run = None
+                    if d > 3:
+                        ja_run = [[None] * nv for _ in range(3)]
+                        for v in range(nv):
+                            maskd = maskd_of[v]
+                            if maskd is None:
+                                z = jnp.zeros((cnt, E), dtype=f32)
+                                for t in range(3):
+                                    ja_run[t][v] = z
+                                continue
+                            ms = maskd[sl]
+                            jr0 = cdof(v, 0)[None] * ms
+                            jr1 = cdof(v, 1)[None] * ms
+                            jr2 = cdof(v, 2)[None] * ms
+                            for t in range(3):
+                                ja_run[t][v] = (
+                                    frame[:, 3 * t + 0, :][sl] * jr0
+                                    + frame[:, 3 * t + 1, :][sl] * jr1
+                                    + frame[:, 3 * t + 2, :][sl] * jr2
+                                )
+                    for v in range(nv):
+                        rows_v = [jt[t][v][sl] for t in range(min(d, 3))]
+                        if d > 3:
+                            rows_v += [ja_run[t][v] for t in range(d - 3)]
+                        blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
+                        J_parts[v].append(blk.reshape(cnt * d, E))
+
+                    # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
+                    vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
+                    if d > 3:
+                        for t in range(d - 3):
+                            s = ja_run[t][0] * qvel[0][None]
+                            for v in range(1, nv):
+                                s = s + ja_run[t][v] * qvel[v][None]
+                            vel_rows.append(s)
+                    aref_rows = [-bc[sl] * vel_rows[0] - kimp[sl]]
+                    for t in range(1, d):
+                        aref_rows.append(-bc[sl] * vel_rows[t])
+                    aref_parts.append(
+                        jnp.stack(aref_rows, axis=1).reshape(cnt * d, E)
+                    )
+                    m0 = mu0[sl]
+                    R_rows = [R_nc[sl]]
+                    for t in range(1, d):
+                        mui = fric[:, t - 1, :][sl]
+                        R_rows.append(jnp.maximum(
+                            R_nc[sl] * m0 * m0
+                            / (jnp.maximum(mui * mui, MINVAL)
+                               * plan.impratio),
+                            MINVAL,
+                        ))
+                    R_parts.append(
+                        jnp.stack(R_rows, axis=1).reshape(cnt * d, E)
+                    )
+                    act_parts.append(jnp.stack(
+                        [act_c[sl]] * d, axis=1
+                    ).reshape(cnt * d, E))
+                    mu_parts.append(m0 / (plan.impratio ** 0.5))
+                    i = j
+                mu_all = (
+                    jnp.concatenate(mu_parts, axis=0) if mu_parts else None
+                )
 
         # ------------------------------------------------------------------
-        # stitch rows and finish quantities
+        # stitch rows and solve
         # ------------------------------------------------------------------
         J = [jnp.concatenate(J_parts[v], axis=0) for v in range(nv)]
-        pos = jnp.concatenate(pos_parts, axis=0)
-        k = jnp.concatenate(k_parts, axis=0)
-        b = jnp.concatenate(b_parts, axis=0)
-        imp = jnp.concatenate(imp_parts, axis=0)
-        riw = jnp.concatenate(riw_parts, axis=0)
+        aref = jnp.concatenate(aref_parts, axis=0)
+        R = jnp.concatenate(R_parts, axis=0)
         act = jnp.concatenate(act_parts, axis=0)
-        floss = jnp.concatenate(floss_parts, axis=0)
-        meq = jnp.concatenate(meq_parts, axis=0)
-        mfl = jnp.concatenate(mfl_parts, axis=0)
-        muni = jnp.concatenate(muni_parts, axis=0)
-
-        vel = J[0] * qvel[0][None]
-        for v in range(1, nv):
-            vel = vel + J[v] * qvel[v][None]
-        aref = -b * vel - k * imp * pos
-        R = jnp.maximum((1.0 - imp) / jnp.maximum(imp, MINVAL) * riw, MINVAL)
         D = 1.0 / R
+        if plan.nfl:
+            floss_fl = jnp.concatenate(
+                [jnp.full((1, E), r["floss"], dtype=f32) for r in plan.fl],
+                axis=0,
+            )
+        else:
+            floss_fl = jnp.zeros((1, E), dtype=f32)
 
         x, force = pn.solve_core(
-            J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
-            nv, iterations, ls_iterations,
+            J, M, aref, D, R, floss_fl, act, asm, ws,
+            nv, iterations, ls_iterations, plan.ne, plan.nfl,
+            ell_runs=plan.ell_runs if plan.elliptic else (),
+            ell_mu=mu_all,
         )
 
         x_ref[...] = x
@@ -860,7 +1001,7 @@ def fused_constraint(model: Model, data, plan: RowPlan):
             b2 = gb[con.geom2]
             fields = [
                 con.pos, con.frame.reshape(ncon, 9), con.dist[..., None],
-                con.includemargin[..., None], con.friction[:, :2],
+                con.includemargin[..., None], con.friction[:, :plan.nfric],
                 con.solref, con.solimp, (biw[b1] + biw[b2])[..., None],
                 b1.astype(dtype)[..., None], b2.astype(dtype)[..., None],
             ]
@@ -883,7 +1024,7 @@ def fused_constraint(model: Model, data, plan: RowPlan):
         rowidx = np.zeros((plan.ncon, maxd), dtype=np.int32)
         rowmsk = np.zeros((plan.ncon, maxd), dtype=bool)
         for c in range(plan.ncon):
-            nrow = min(4, maxd)
+            nrow = min(plan.rows_per[c], maxd)
             rowidx[c, :nrow] = plan.con_efcadr[c] + np.arange(nrow)
             rowmsk[c, :nrow] = True
         efc_force_contact = jnp.where(

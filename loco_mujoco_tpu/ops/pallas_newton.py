@@ -47,12 +47,6 @@ _BE = 128  # env block (one lane tile; BE=256 measured ~6% slower —
 _INTERPRET = False
 
 
-def _row_masks(is_eq: np.ndarray, is_fl: np.ndarray):
-    is_uni = ~(is_eq | is_fl)
-    to = lambda m: m.astype(np.float32)[:, None]  # (nefc, 1) broadcast
-    return to(is_eq), to(is_fl), to(is_uni)
-
-
 def chol_solve_spd(M, rhs, nv, jitter=0.0):
     """Solve M x = rhs for SPD M in env-last layout: M (nv, nv, BE) (or
     M[a] -> (nv, BE) rows), rhs (nv, BE). Unrolled Cholesky + substitution,
@@ -87,16 +81,223 @@ def chol_solve_spd(M, rhs, nv, jitter=0.0):
     return jnp.stack(x)
 
 
-def solve_core(J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
-               nv, iterations, ls_iterations):
+def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
+               nv, iterations, ls_iterations, ne, nfl,
+               ell_runs=(), ell_mu=None):
     """The Newton solve on VMEM-resident values, env axis in lanes.
 
     J: indexable as J[k] -> (nrows, BE) (a (nv, nrows, BE) array or a list
     of per-dof row tiles); M (nv, nv, BE); row quantities (nrows, BE);
-    masks (nrows, 1) or full (nrows, BE); asm/ws (nv, BE). Returns
+    floss_fl (nfl, BE) (friction-loss rows only); asm/ws (nv, BE). Returns
     (qacc (nv, BE), force (nrows, BE)). Shared by the plain solve kernel
-    and the fused assembly+solve kernel."""
-    rfl = R * floss
+    and the fused assembly+solve kernel.
+
+    Row classes are STATIC contiguous ranges (the assembly order is
+    equality, friction loss, then unilateral limits/contacts): rows [0, ne)
+    are bilateral, [ne, ne+nfl) are Huber friction-loss rows, and the rest
+    are one-sided quadratic — except elliptic-cone contact rows, described
+    by ell_runs. Every per-row force/weight/cost pass walks this static
+    program and emits one ordered concat (no mask arrays, no scatter —
+    the masked formulation cost ~1.4 MB of VMEM and 4x the row ops).
+
+    ell_runs/ell_mu: elliptic-cone contacts (A1). ell_runs is a static
+    tuple of (row_start, n_contacts, dim) runs of contiguous equal-dim
+    elliptic contact rows; ell_mu is the (n_elliptic_contacts, BE) cone
+    friction coefficient (friction0 / sqrt(impratio)) in run order. The
+    cone zone cost/force/Hessian follows solver._quantities /
+    _cone_hessian_terms exactly: separating (no force), sticking (full
+    quadratic), sliding (rank-1 Gauss-Newton + tangential curvature)."""
+    nrows = aref.shape[0]
+
+    # -- elliptic preamble: per-run cone-scaled coordinates ----------------
+    ell = []
+    if ell_runs:
+        off = 0
+        for (s, cnt, d) in ell_runs:
+            Db = D[s:s + cnt * d].reshape(cnt, d, -1)
+            dn = Db[:, 0]
+            scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], 1e-30))
+            mu = ell_mu[off:off + cnt]  # (cnt, BE)
+            act_n = act[s:s + cnt * d].reshape(cnt, d, -1)[:, 0]
+            dm = dn / (1.0 + mu * mu)
+            ell.append(dict(s=s, cnt=cnt, d=d, Db=Db, scale=scale, mu=mu,
+                            act=act_n, dm=dm))
+            off += cnt
+
+    # static row program: ordered (tag, start, end[, run]) segments
+    prog = []
+    if ne:
+        prog.append(("eq", 0, ne, None))
+    if nfl:
+        prog.append(("fl", ne, ne + nfl, None))
+    cur = ne + nfl
+    for e in ell:
+        s, n = e["s"], e["cnt"] * e["d"]
+        if s > cur:
+            prog.append(("uni", cur, s, None))
+        prog.append(("ell", s, s + n, e))
+        cur = s + n
+    if cur < nrows:
+        prog.append(("uni", cur, nrows, None))
+
+    if nfl:
+        rfl = R[ne:ne + nfl] * floss_fl
+
+    def _ell_zone(e, jb, want):
+        """Cone zone pieces for one run at jar rows jb (cnt*d, BE)."""
+        cnt, d = e["cnt"], e["d"]
+        jb = jb.reshape(cnt, d, -1)
+        u = jb * e["scale"]
+        n = u[:, 0]
+        t = jnp.sqrt(jnp.sum(u[:, 1:] ** 2, axis=1))
+        tsafe = jnp.maximum(t, 1e-15)
+        mu = e["mu"]
+        top = n >= mu * t
+        bottom = (mu * n + t) <= 0.0
+        midf = jnp.where(top | bottom, 0.0, e["act"])
+        botf = jnp.where(bottom, e["act"], 0.0)
+        nmt = n - mu * t
+        out = {}
+        if "f" in want or "h" in want:
+            # gradient direction in row space (scaled)
+            g = jnp.concatenate(
+                [e["scale"][:, :1],
+                 -(mu / tsafe)[:, None] * u[:, 1:] * e["scale"][:, 1:]],
+                axis=1,
+            )  # (cnt, d, BE)
+        if "f" in want:
+            f_mid = -(e["dm"] * nmt * midf)[:, None] * g
+            f_bot = -(e["Db"] * jb) * botf[:, None]
+            out["f"] = (f_mid + f_bot).reshape(cnt * d, -1)
+        if "c" in want:
+            c_mid = 0.5 * e["dm"] * nmt * nmt * midf
+            c_bot = 0.5 * jnp.sum(e["Db"] * jb * jb, axis=1) * botf
+            out["c"] = jnp.sum(c_mid + c_bot, axis=0, keepdims=True)
+        if "h" in want:
+            c2 = e["dm"] * mu * (mu * t - n) / tsafe * midf
+            # sticking weight on all rows + sliding tangential curvature
+            wblk = e["Db"] * botf[:, None]
+            wtan = c2[:, None] * e["scale"][:, 1:] ** 2
+            wblk = jnp.concatenate([wblk[:, :1], wblk[:, 1:] + wtan], axis=1)
+            out["w"] = wblk.reshape(cnt * d, -1)
+            out["hess"] = dict(e=e, u=u, tsafe=tsafe, g=g,
+                               wg=e["dm"] * midf, wq=-c2)
+        return out
+
+    def row_quantities(jar, want):
+        """Walk the static program once; return dict with any of
+        f/w (nrows, BE), c (1, BE), hess (per-run rank-1 data)."""
+        fp, wp, hess = [], [], []
+        cost = None
+
+        def addc(c):
+            nonlocal cost
+            cost = c if cost is None else cost + c
+
+        for (tag, s, e2, run) in prog:
+            jb = jar[s:e2]
+            Db = D[s:s + (e2 - s)]
+            if tag == "eq":
+                if "f" in want:
+                    fp.append(-Db * jb)
+                if "w" in want:
+                    wp.append(Db)
+                if "c" in want:
+                    addc(jnp.sum(0.5 * Db * jb * jb, axis=0, keepdims=True))
+            elif tag == "fl":
+                ndj = -Db * jb
+                if "f" in want:
+                    fp.append(jnp.clip(ndj, -floss_fl, floss_fl))
+                if "w" in want:
+                    wp.append(jnp.where(jnp.abs(jb) <= rfl, Db, 0.0))
+                if "c" in want:
+                    q = 0.5 * Db * jb * jb
+                    c = jnp.where(
+                        jnp.abs(jb) <= rfl, q,
+                        floss_fl * jnp.abs(jb) - 0.5 * rfl * floss_fl,
+                    )
+                    addc(jnp.sum(c, axis=0, keepdims=True))
+            elif tag == "uni":
+                ab = act[s:e2]
+                neg = jb < 0
+                if "f" in want:
+                    fp.append(jnp.where(neg, -Db * jb, 0.0) * ab)
+                if "w" in want:
+                    wp.append(jnp.where(neg, Db, 0.0) * ab)
+                if "c" in want:
+                    c = jnp.where(neg, 0.5 * Db * jb * jb, 0.0) * ab
+                    addc(jnp.sum(c, axis=0, keepdims=True))
+            else:  # elliptic run
+                zw = set(want) & {"f", "c"}
+                if "w" in want:
+                    zw |= {"h"}
+                z = _ell_zone(run, jb, zw)
+                if "f" in want:
+                    fp.append(z["f"])
+                if "w" in want:
+                    wp.append(z["w"])
+                    hess.append(z["hess"])
+                if "c" in want:
+                    addc(z["c"])
+        out = {}
+        if "f" in want:
+            out["f"] = jnp.concatenate(fp, axis=0)
+        if "w" in want:
+            out["w"] = jnp.concatenate(wp, axis=0)
+            out["hess"] = hess
+        if "c" in want:
+            out["c"] = cost
+        return out
+
+    def _ell_virtual_rows(hess):
+        """Rank-1 Hessian rows: per dof a (2*ncon_ell, BE) tile V[a] with
+        weights Vw — H += sum_r Vw[r] V[a][r] V[b][r]."""
+        Vw = jnp.concatenate(
+            [jnp.concatenate([h["wg"], h["wq"]], axis=0) for h in hess],
+            axis=0,
+        )
+        V = []
+        for a in range(nv):
+            rows = []
+            for h in hess:
+                e = h["e"]
+                cnt, d = e["cnt"], e["d"]
+                Jb = J[a][e["s"]:e["s"] + cnt * d].reshape(cnt, d, -1)
+                jg = jnp.sum(h["g"] * Jb, axis=1)  # (cnt, BE)
+                wdir = h["u"][:, 1:] / h["tsafe"][:, None]
+                jq = jnp.sum(wdir * e["scale"][:, 1:] * Jb[:, 1:], axis=1)
+                rows.append(jnp.concatenate([jg, jq], axis=0))
+            V.append(jnp.concatenate(rows, axis=0))
+        return V, Vw
+
+    def force_dot(jar, vec):
+        """sum(force(jar) * vec) over rows as (1, BE), without ever
+        materializing the force array — the line search evaluates this
+        ls_iterations times per Newton step, and the full-row version's
+        temporaries dominated the kernel's scoped-VMEM peak."""
+        tot = None
+        for (tag, s, e2, run) in prog:
+            jb = jar[s:e2]
+            vb = vec[s:e2]
+            Db = D[s:e2]
+            if tag == "eq":
+                t = jnp.sum(-Db * jb * vb, axis=0, keepdims=True)
+            elif tag == "fl":
+                t = jnp.sum(
+                    jnp.clip(-Db * jb, -floss_fl, floss_fl) * vb,
+                    axis=0, keepdims=True,
+                )
+            elif tag == "uni":
+                ab = act[s:e2]
+                t = jnp.sum(
+                    jnp.where(jb < 0, -Db * jb, 0.0) * ab * vb,
+                    axis=0, keepdims=True,
+                )
+            else:
+                z = _ell_zone(run, jb, "f")
+                t = jnp.sum(z["f"] * vb, axis=0, keepdims=True)
+            tot = t if tot is None else tot + t
+        return tot
 
     def matvec_J(x):  # (nv, BE) -> (nrows, BE)
         acc = J[0] * x[0][None]
@@ -109,34 +310,13 @@ def solve_core(J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
         return jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
 
     def force_of(jar):
-        """Active-masked row force (mirrors solver._quantities)."""
-        ndj = -D * jar
-        f = meq * ndj
-        f = f + mfl * jnp.clip(ndj, -floss, floss)
-        f = f + muni * jnp.where(jar < 0, ndj, 0.0)
-        return f * act
-
-    def weight_of(jar):
-        w = meq * D
-        w = w + mfl * jnp.where(jnp.abs(jar) <= rfl, D, 0.0)
-        w = w + muni * jnp.where(jar < 0, D, 0.0)
-        return w * act
-
-    def cost_of(jar):  # (1, BE)
-        q = 0.5 * D * jar * jar
-        c = meq * q
-        c = c + mfl * jnp.where(
-            jnp.abs(jar) <= rfl, q,
-            floss * jnp.abs(jar) - 0.5 * rfl * floss,
-        )
-        c = c + muni * jnp.where(jar < 0, q, 0.0)
-        return jnp.sum(c * act, axis=0, keepdims=True)
+        return row_quantities(jar, "f")["f"]
 
     def total_cost(x):
         jar = matvec_J(x) - aref
         dx = x - asm
         gauss = 0.5 * jnp.sum(dx * matvec_M(dx), axis=0, keepdims=True)
-        return cost_of(jar) + gauss
+        return row_quantities(jar, "c")["c"] + gauss
 
     # warmstart: better of qacc_smooth / qacc_warmstart
     c_ws = total_cost(ws)
@@ -145,20 +325,26 @@ def solve_core(J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
 
     def newton_iter(_, x):
         jar = matvec_J(x) - aref
-        f = force_of(jar)
-        w = weight_of(jar)
+        q = row_quantities(jar, "fw")
+        f, w = q["f"], q["w"]
+        V = Vw = None
+        if ell:
+            V, Vw = _ell_virtual_rows(q["hess"])
 
         mdx0 = matvec_M(x - asm)  # (nv, BE)
 
         # grad = M(x - asm) - J' f
         grad = [mdx0[a] - jnp.sum(J[a] * f, axis=0) for a in range(nv)]
 
-        # H = M + J' diag(w) J — upper triangle, env in lanes
+        # H = M + J' diag(w) J (+ elliptic rank-1 rows) — upper triangle
         h = [[None] * nv for _ in range(nv)]
         for a in range(nv):
             wja = w * J[a]
+            va = Vw * V[a] if ell else None
             for b in range(a, nv):
                 s = jnp.sum(wja * J[b], axis=0)
+                if ell:
+                    s = s + jnp.sum(va * V[b], axis=0)
                 s = s + M[a, b, :]
                 if b == a:
                     s = s + 1e-12  # jitter, as in the XLA path
@@ -202,8 +388,7 @@ def solve_core(J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
         d0 = g0 - jnp.sum(f * jv, axis=0, keepdims=True)
 
         def phi_prime(a):  # a (1, BE)
-            fa = force_of(jar + a * jv)
-            return g0 + a * h0 - jnp.sum(fa * jv, axis=0, keepdims=True)
+            return g0 + a * h0 - force_dot(jar + a * jv, jv)
 
         def falsi(lo, dlo, hi, dhi):
             denom = dhi - dlo
@@ -216,38 +401,44 @@ def solve_core(J, M, aref, D, R, floss, act, meq, mfl, muni, asm, ws,
 
         one = jnp.ones_like(g0)
         zero = jnp.zeros_like(g0)
-        lo, dlo = zero, d0
-        hi, dhi = zero, one
-        has_hi = zero > one  # all-False (1, BE) bool
-        a = one
-        for _k in range(ls_iterations):
+
+        # safeguarded secant on phi' as a lax loop (an unrolled python loop
+        # keeps every iteration's row temporaries live on the Mosaic stack;
+        # has_hi is carried as f32 0/1 — i1 vector carries fail to legalize)
+        def ls_body(_, st):
+            lo, dlo, hi, dhi, has_hi, a = st
             d = phi_prime(a)
             neg = d < 0
             lo = jnp.where(neg, a, lo)
             dlo = jnp.where(neg, d, dlo)
             hi = jnp.where(neg, hi, a)
             dhi = jnp.where(neg, dhi, d)
-            has_hi = has_hi | ~neg
-            a = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), a * 2.0)
-        alpha = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), lo)
+            has_hi = jnp.where(neg, has_hi, one)
+            a = jnp.where(has_hi > 0, falsi(lo, dlo, hi, dhi), a * 2.0)
+            return (lo, dlo, hi, dhi, has_hi, a)
+
+        lo, dlo, hi, dhi, has_hi, _a = jax.lax.fori_loop(
+            0, ls_iterations, ls_body,
+            (zero, d0, zero, one, zero, one),
+        )
+        alpha = jnp.where(has_hi > 0, falsi(lo, dlo, hi, dhi), lo)
         return x + alpha * dx
 
     x = jax.lax.fori_loop(0, iterations, newton_iter, x)
     return x, force_of(matvec_J(x) - aref)
 
 
-def _make_kernel(nefc, nv, iterations, ls_iterations):
+def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl):
     def kernel(J_ref, M_ref, aref_ref, D_ref, R_ref, fl_ref, act_ref,
-               masks_ref, asm_ref, ws_ref, x_ref, force_ref):
+               asm_ref, ws_ref, x_ref, force_ref):
         # J is laid out (nv, nefc, BE): J[k] is a contiguous (nefc, BE) tile,
         # so every matvec / Hessian access is a full-tile VPU op (indexing
         # the sublane dim of an (nefc, nv, BE) layout would shuffle instead)
         x, force = solve_core(
             J_ref[...], M_ref[...], aref_ref[...], D_ref[...], R_ref[...],
             fl_ref[...], act_ref[...],
-            masks_ref[0], masks_ref[1], masks_ref[2],
             asm_ref[...], ws_ref[...],
-            nv, iterations, ls_iterations,
+            nv, iterations, ls_iterations, ne, nfl,
         )
         x_ref[...] = x
         force_ref[...] = force
@@ -257,10 +448,10 @@ def _make_kernel(nefc, nv, iterations, ls_iterations):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "ls_iterations", "eq_b", "fl_b"),
+    static_argnames=("iterations", "ls_iterations", "ne", "nfl"),
 )
 def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
-                   iterations, ls_iterations, eq_b, fl_b):
+                   iterations, ls_iterations, ne, nfl):
     """Batched solve. J (E, nefc, nv), M (E, nv, nv), rows (E, nefc),
     vectors (E, nv) -> qacc (E, nv), force (E, nefc)."""
     E, nefc, nv = J.shape
@@ -278,24 +469,23 @@ def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
     if Ep != E:
         Jt = jnp.pad(Jt, ((0, 0), (0, 0), (0, Ep - E)))
     Mt = to_env_last(M.astype(jnp.float32))
+    # friction-loss bounds: only the fl rows enter the kernel
+    floss_fl = floss[:, ne:ne + nfl]
     rows = [to_env_last(v.astype(jnp.float32))
-            for v in (aref, D, R, floss, active)]
+            for v in (aref, D, R, active)]
+    flt = to_env_last(floss_fl.astype(jnp.float32))
     vecs = [to_env_last(v.astype(jnp.float32)) for v in (asm, ws)]
-    masks = jnp.asarray(
-        np.stack(
-            _row_masks(
-                np.frombuffer(eq_b, dtype=bool),
-                np.frombuffer(fl_b, dtype=bool),
-            )
-        )
-    )  # (3, nefc, 1)
 
-    kernel = _make_kernel(nefc, nv, iterations, ls_iterations)
+    kernel = _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl)
     grid = (Ep // _BE,)
     row_spec = pl.BlockSpec((nefc, _BE), lambda e: (0, e),
                             memory_space=pltpu.VMEM)
+    fl_spec = pl.BlockSpec((max(nfl, 1), _BE), lambda e: (0, e),
+                           memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((nv, _BE), lambda e: (0, e),
                             memory_space=pltpu.VMEM)
+    if nfl == 0:
+        flt = jnp.zeros((1, Ep), jnp.float32)
     x, force = pl.pallas_call(
         kernel,
         grid=grid,
@@ -304,9 +494,7 @@ def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nv, nv, _BE), lambda e: (0, 0, e),
                          memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec, row_spec, row_spec,
-            pl.BlockSpec((3, nefc, 1), lambda e: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            row_spec, row_spec, row_spec, fl_spec, row_spec,
             vec_spec, vec_spec,
         ],
         out_specs=[vec_spec, row_spec],
@@ -315,21 +503,36 @@ def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
             jax.ShapeDtypeStruct((nefc, Ep), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(Jt, Mt, *rows, masks, *vecs)
+    )(Jt, Mt, rows[0], rows[1], rows[2], flt, rows[3], *vecs)
     return jnp.moveaxis(x[:, :E], -1, 0), jnp.moveaxis(force[:, :E], -1, 0)
 
 
 _SOLVER_CACHE: dict = {}
 
 
+def row_class_counts(is_bilateral, is_fl):
+    """(ne, nfl) for the static row program; asserts the assembly order
+    (equality block first, friction-loss block second) the solver relies
+    on — make_constraint always emits classes contiguously."""
+    eq = np.asarray(is_bilateral, dtype=bool)
+    fl = np.asarray(is_fl, dtype=bool)
+    ne = int(eq.sum())
+    nfl = int(fl.sum())
+    if not (np.all(eq[:ne]) and not np.any(eq[ne:])):
+        raise ValueError("equality rows are not a contiguous prefix")
+    if not (np.all(fl[ne:ne + nfl]) and nfl == int(fl.sum())
+            and not np.any(fl[:ne]) and not np.any(fl[ne + nfl:])):
+        raise ValueError("friction-loss rows are not contiguous after eq")
+    return ne, nfl
+
+
 def get_solver(efc, iterations: int, ls_iterations: int):
     """Factory: a custom-vmap solve fn bound to this model's static row
     classification. Call unbatched inside the per-env trace; under vmap the
     whole batch dispatches to one fused kernel."""
-    eq_b = np.asarray(efc.is_bilateral, dtype=bool).tobytes()
-    fl_b = np.asarray(efc.is_fl, dtype=bool).tobytes()
+    ne, nfl = row_class_counts(efc.is_bilateral, efc.is_fl)
     nefc = len(efc.is_fl)
-    key = (nefc, iterations, ls_iterations, eq_b, fl_b)
+    key = (nefc, iterations, ls_iterations, ne, nfl)
     hit = _SOLVER_CACHE.get(key)
     if hit is not None:
         return hit
@@ -338,7 +541,7 @@ def get_solver(efc, iterations: int, ls_iterations: int):
         return _solve_batched(
             J, M, aref, D, R, floss, active, asm, ws,
             iterations=iterations, ls_iterations=ls_iterations,
-            eq_b=eq_b, fl_b=fl_b,
+            ne=ne, nfl=nfl,
         )
 
     @jax.custom_batching.custom_vmap

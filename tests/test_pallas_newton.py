@@ -100,10 +100,41 @@ def test_fused_plan_row_layout_matches_make_constraint(humanoid_states):
     assert plan.nfl == int(np.sum(efc.is_fl))
 
 
-def test_fused_plan_gates_out_elliptic():
+def test_fused_elliptic_matches_xla(monkeypatch):
+    """A1: elliptic cones (impratio=100, mixed condim 3/6, self-collision
+    pairs) through the fused assembly+solve kernel vs the XLA reference."""
     env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float32)
     st = jax.jit(jax.vmap(env.reset))(
-        jax.random.split(jax.random.PRNGKey(0), 2)
+        jax.random.split(jax.random.PRNGKey(0), 4)
     )
-    d0 = jax.tree_util.tree_map(lambda l: l[0], st.data)
-    assert pc.get_plan(env.model, d0.contact) is None
+    a = 0.1 * jax.random.normal(
+        jax.random.PRNGKey(1), (4, env.action_dim), dtype=jnp.float32
+    )
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(3):
+        st = step(st, a)
+    m = env.model
+    datas = st.data
+
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.elliptic and plan.ell_runs
+    # row layout matches the XLA assembly
+    d1 = fwd.fwd_acceleration(
+        m, fwd.fwd_actuation(m, fwd.fwd_velocity(m, fwd.fwd_position(m, d0)))
+    )
+    efc = con.make_constraint(m, d1)
+    assert plan.nrows == efc.J.shape[0]
+    np.testing.assert_array_equal(plan.con_efcadr, efc.con_efcadr)
+    np.testing.assert_array_equal(plan.con_dim, efc.con_dim)
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    fused = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
+    for r, g, what in zip(ref, fused, ("qacc", "qfrc", "efc_fc")):
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
