@@ -31,16 +31,18 @@ def log(msg):
 
 def main():
     import loco_mujoco_tpu as lmt
+    from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
 
     t0 = time.time()
     env = lmt.make(TASK, debug=True)
     log(f"bench: make({TASK}) {time.time() - t0:.1f}s; "
         f"devices {jax.devices()}")
 
-    step_fn = jax.jit(jax.vmap(env.step))
+    copts = tpu_compiler_options()
+    step_fn = jax.jit(jax.vmap(env.step), compiler_options=copts)
 
     t0 = time.time()
-    states = jax.jit(jax.vmap(env.reset))(
+    states = jax.jit(jax.vmap(env.reset), compiler_options=copts)(
         jax.random.split(jax.random.PRNGKey(0), N_ENVS)
     )
     states.obs.block_until_ready()

@@ -89,6 +89,12 @@ class LocoEnv:
     ):
         self.auto_reset = auto_reset
         self.random_env_reset = random_env_reset
+        # host-side compiled MjModel(s) behind this env, retained by the
+        # concrete env builders so verification harnesses can drive CPU
+        # MuJoCo as an oracle twin on the exact surgeried model
+        # (tools/acceptance_one.py); _mj_models is the per-variant list
+        self._mj_model = None
+        self._mj_models = None
         # batched-envs solver budget: under vmap the Newton/line-search
         # while_loops run until EVERY env in the batch converges, so the
         # iteration caps bound the per-step cost directly. Warm-started
@@ -184,6 +190,14 @@ class LocoEnv:
         no-op. A1 swaps the goal-arrow rotmat for (cos, sin) features."""
         return obs
 
+    def _append_obs(self, obs, state):
+        """Extend the observation AFTER the GRF block, matching the
+        reference's layering: `_create_observation` subclasses append their
+        extras (carried-weight mass — base_robot_humanoid.py:106-124;
+        4-ages env-id bits — base_humanoid_4_ages.py:256-277) on top of the
+        base obs that already carries the foot forces."""
+        return obs
+
     def _substep_hook(self, data: Data, state: EnvState) -> Data:
         """Called after every physics substep (goal-arrow pose etc.)."""
         return data
@@ -215,7 +229,7 @@ class LocoEnv:
         if self.use_foot_forces:
             grf_mean = jnp.mean(state.grf_window, axis=0) / 1000.0
             obs = jnp.concatenate([obs, grf_mean.astype(self.dtype)])
-        return obs
+        return self._append_obs(obs, state)
 
     def _grf(self, data: Data) -> jax.Array:
         """Ground-reaction forces; robots override with their collision
@@ -270,7 +284,14 @@ class LocoEnv:
             # model only provides shapes to make_data on this path (the
             # forward is skipped), so the per-env variant gather is elided
             model = self.model
-        data = self._fresh_data(model)
+        # make_data is host-side numpy (shapes are variant-invariant); the
+        # variant-gathered model's leaves are traced under jit, so build
+        # from the static base model and inject the variant's qpos0
+        data = self._fresh_data(self.model)
+        if model is not self.model:
+            data = data.replace(
+                qpos=jnp.asarray(model.qpos0, dtype=self.dtype)
+            )
 
         goal = jnp.zeros(2, dtype=self.dtype)
         traj_no = jnp.zeros((), dtype=jnp.int32)

@@ -90,19 +90,40 @@ class Atlas(RobotHumanoid):
             joints_rm += BACK
             motors_rm += [j + "_actuator" for j in BACK]
 
-        weight = None
+        # carried weight: a fixed mass gives one model; the default gives
+        # the reference's 4-mass POMDP set as stacked model variants
+        # (reference atlas.py:320-331)
+        masses = None
         if hold_weight:
-            mass = weight_mass if weight_mass is not None else 10.0
-            color = weight_color(3, 4) if weight_mass is None else [1, 0, 0, 1]
-            weight = ("utorso", mass, [0.1, 0.27, 0.1], [0.72, 0, -0.25], color)
-            self._actual_weight_mass = mass
+            masses = (
+                [weight_mass] if weight_mass is not None
+                else list(RobotHumanoid.VALID_WEIGHTS)
+            )
 
-        mj_model = apply_surgery(
-            xml, joints_rm=joints_rm, motors_rm=motors_rm,
-            body_quats=REORIENT if disable_arms else (),
-            weight=weight,
-        )
-        model = put_model(mj_model, dtype=dtype)
+        def build(weight):
+            mj = apply_surgery(
+                xml, joints_rm=joints_rm, motors_rm=motors_rm,
+                body_quats=REORIENT if disable_arms else (),
+                weight=weight,
+            )
+            return mj, put_model(mj, dtype=dtype)
+
+        if masses is None:
+            mj_model, model = build(None)
+            mj_models, variants = [mj_model], None
+        else:
+            pairs = [
+                build(
+                    ("utorso", m, [0.1, 0.27, 0.1], [0.72, 0, -0.25],
+                     weight_color(i, len(masses)))
+                )
+                for i, m in enumerate(masses)
+            ]
+            mj_models = [p[0] for p in pairs]
+            ms = [p[1] for p in pairs]
+            mj_model, model = mj_models[0], ms[0]
+            variants = ms if len(ms) > 1 else None
+
         joints = [j for j in ALL_JOINTS if j not in joints_rm]
         obs_index = ObsIndex(model, joint_obs_spec(joints))
 
@@ -114,11 +135,15 @@ class Atlas(RobotHumanoid):
                          ["left_foot_back"], ["left_foot_front"]],
             has_fallen_fn=_has_fallen_fn,
             hold_weight=hold_weight,
-            weight_mass=(weight[1] if weight else None),
+            weight_mass=(masses[0] if masses else None),
+            weight_masses=masses,
+            model_variants=variants,
             grf_size=12,
             dtype=dtype,
             **kwargs,
         )
+        self._mj_model = mj_model
+        self._mj_models = mj_models
 
     @staticmethod
     def generate(task="walk", dataset_type="real", debug=False, **kwargs):

@@ -149,7 +149,7 @@ class BaseHumanoid(LocoEnv):
     ):
         if _prebuilt is not None:
             # 4-ages subclass supplies pre-scaled model variants
-            model, variants, joints_rm = _prebuilt
+            model, variants, joints_rm, mj_models = _prebuilt
         else:
             name = (
                 "humanoid_muscle.xml" if use_muscles else "humanoid_torque.xml"
@@ -160,6 +160,7 @@ class BaseHumanoid(LocoEnv):
             )
             model = put_model(mj_model, dtype=dtype)
             variants = None
+            mj_models = [mj_model]
 
         joints = [j for j in ALL_JOINTS if j not in joints_rm]
         obs_index = ObsIndex(model, _obs_spec(joints))
@@ -226,6 +227,8 @@ class BaseHumanoid(LocoEnv):
             dtype=dtype,
             **kwargs,
         )
+        self._mj_model = mj_models[0]
+        self._mj_models = mj_models
 
         gmap = model.names["geom"]
         self._floor_ids = np.asarray([gmap["floor"]])

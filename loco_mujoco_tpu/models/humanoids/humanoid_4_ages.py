@@ -115,6 +115,7 @@ class BaseHumanoid4Ages(BaseHumanoid):
         xml = REF_ROOT / "environments" / "data" / "humanoid" / name
 
         models = []
+        mj_models = []
         joints_rm = None
         hull_idx = None
         for s in scalings:
@@ -122,6 +123,7 @@ class BaseHumanoid4Ages(BaseHumanoid):
                 xml, use_box_feet, disable_arms, alpha_box_feet
             )
             _scale_compiled(mj_model, s, use_muscles, use_box_feet)
+            mj_models.append(mj_model)
             if hull_idx is None:
                 # hull topology must be shared across scalings: the vertex
                 # masks are static aux data and the stacked variant leaves
@@ -156,7 +158,7 @@ class BaseHumanoid4Ages(BaseHumanoid):
             reward_type=reward_type,
             reward_params=reward_params,
             dtype=dtype,
-            _prebuilt=(model, variants, joints_rm),
+            _prebuilt=(model, variants, joints_rm, mj_models),
             **kwargs,
         )
 
@@ -164,8 +166,9 @@ class BaseHumanoid4Ages(BaseHumanoid):
     def _extra_obs_dim(self):
         return self._env_id_len
 
-    def _modify_observation(self, obs, state):
-        # binary env-id bits, big-endian (reference _get_env_id_map)
+    def _append_obs(self, obs, state):
+        # binary env-id bits, big-endian (reference _get_env_id_map),
+        # appended after the GRF block (base_humanoid_4_ages.py:256-277)
         idx = (
             state.env_id
             if self._fixed_model_idx is None
@@ -176,6 +179,54 @@ class BaseHumanoid4Ages(BaseHumanoid):
             for k in range(self._env_id_len)
         ]
         return jnp.concatenate([obs, jnp.stack(bits)])
+
+    # ---- POMDP observation masking (base_humanoid_4_ages.py:187-241) -----
+    _hidable_obs = ("positions", "velocities", "foot_forces", "env_type")
+
+    def get_mask(self, obs_to_hide):
+        """Boolean keep-mask over the observation: True = keep. Hidable
+        groups: "positions", "velocities", "foot_forces" (only with
+        use_foot_forces), "env_type" (the binary env-id bits, only with
+        more than one scaling active)."""
+        if isinstance(obs_to_hide, str):
+            obs_to_hide = (obs_to_hide,)
+        bad = [x for x in obs_to_hide if x not in self._hidable_obs]
+        if bad:
+            raise ValueError(
+                f"Cannot hide {bad}; valid observations to hide are "
+                f"{self._hidable_obs}."
+            )
+        pos_dim = len(self.joints) - 2  # global x/y dropped from the obs
+        vel_dim = len(self.joints)
+        mask = [
+            np.full(pos_dim, "positions" not in obs_to_hide, dtype=bool),
+            np.full(vel_dim, "velocities" not in obs_to_hide, dtype=bool),
+        ]
+        if self.use_foot_forces:
+            mask.append(
+                np.full(self.grf_size, "foot_forces" not in obs_to_hide,
+                        dtype=bool)
+            )
+        elif "foot_forces" in obs_to_hide:
+            raise ValueError(
+                "Creating a mask to hide foot forces without activating "
+                "the latter is not allowed."
+            )
+        if self.n_variants > 1:
+            mask.append(
+                np.full(self._env_id_len, "env_type" not in obs_to_hide,
+                        dtype=bool)
+            )
+        elif "env_type" in obs_to_hide:
+            raise ValueError(
+                "Creating a mask to hide the env type without having more "
+                "than one env is not allowed."
+            )
+        else:
+            # the bits are still part of the obs for a fixed scaling
+            # (constant id); they stay visible
+            mask.append(np.ones(self._env_id_len, dtype=bool))
+        return np.concatenate(mask).ravel()
 
     def _reward_info(self, state):
         info = super()._reward_info(state)

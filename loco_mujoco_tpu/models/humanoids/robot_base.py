@@ -181,13 +181,57 @@ class RobotHumanoid(LocoEnv):
     def _extra_obs_dim(self):
         return 1 if self.hold_weight else 0
 
-    def _modify_observation(self, obs, state):
+    def _append_obs(self, obs, state):
         if self.hold_weight:
-            # carried-weight mass appended (base_robot_humanoid.py:106-124);
-            # multi-variant envs read the mass of the active variant
+            # carried-weight mass appended after the GRF block
+            # (base_robot_humanoid.py:106-124); multi-variant envs read the
+            # mass of the active variant
             w = self.weight_masses[state.env_id].astype(self.dtype)
             obs = jnp.concatenate([obs, w[None]])
         return obs
+
+    # ---- POMDP observation masking (base_robot_humanoid.py:39-91) --------
+    _hidable_obs = ("positions", "velocities", "foot_forces", "weight")
+
+    def get_mask(self, obs_to_hide):
+        """Boolean keep-mask over the observation for POMDP experiments:
+        True = keep, False = hide. Hidable groups: "positions",
+        "velocities", "foot_forces" (only with use_foot_forces), "weight"
+        (only with hold_weight)."""
+        if isinstance(obs_to_hide, str):
+            obs_to_hide = (obs_to_hide,)
+        bad = [x for x in obs_to_hide if x not in self._hidable_obs]
+        if bad:
+            raise ValueError(
+                f"Cannot hide {bad}; valid observations to hide are "
+                f"{self._hidable_obs}."
+            )
+        pos_dim = len(self.joints) - 2  # global x/y dropped from the obs
+        vel_dim = len(self.joints)
+        mask = [
+            np.full(pos_dim, "positions" not in obs_to_hide, dtype=bool),
+            np.full(vel_dim, "velocities" not in obs_to_hide, dtype=bool),
+        ]
+        if self.use_foot_forces:
+            mask.append(
+                np.full(self.grf_size, "foot_forces" not in obs_to_hide,
+                        dtype=bool)
+            )
+        elif "foot_forces" in obs_to_hide:
+            raise ValueError(
+                "Creating a mask to hide foot forces without activating "
+                "the latter is not allowed."
+            )
+        if self.hold_weight:
+            mask.append(
+                np.full(1, "weight" not in obs_to_hide, dtype=bool)
+            )
+        elif "weight" in obs_to_hide:
+            raise ValueError(
+                "Creating a mask to hide the carried weight without "
+                "activating the latter is not allowed."
+            )
+        return np.concatenate(mask).ravel()
 
     def _grf(self, data):
         parts = [

@@ -98,6 +98,8 @@ class UnitreeG1(RobotHumanoid):
             dtype=dtype,
             **kwargs,
         )
+        self._mj_model = mj_model
+        self._mj_models = [mj_model]
 
     @staticmethod
     def generate(task="walk", dataset_type="real", debug=False, **kwargs):

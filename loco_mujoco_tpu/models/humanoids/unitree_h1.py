@@ -95,31 +95,32 @@ class UnitreeH1(RobotHumanoid):
             )
 
         def build(weight):
-            return put_model(
-                apply_surgery(
-                    xml,
-                    joints_rm=joints_rm,
-                    motors_rm=motors_rm,
-                    body_quats=REORIENT
-                    if (disable_arms and not hold_weight)
-                    else (),
-                    weight=weight,
-                ),
-                dtype=dtype,
+            mj = apply_surgery(
+                xml,
+                joints_rm=joints_rm,
+                motors_rm=motors_rm,
+                body_quats=REORIENT
+                if (disable_arms and not hold_weight)
+                else (),
+                weight=weight,
             )
+            return mj, put_model(mj, dtype=dtype)
 
         if masses is None:
-            model = build(None)
-            variants = None
+            mj_model, model = build(None)
+            mj_models, variants = [mj_model], None
         else:
-            ms = [
+            pairs = [
                 build(
                     ("torso_link", m, [0.1, 0.18, 0.1], [0.35, 0, 0.1],
                      weight_color(i, len(masses)))
                 )
                 for i, m in enumerate(masses)
             ]
-            model, variants = ms[0], (ms if len(ms) > 1 else None)
+            mj_models = [p[0] for p in pairs]
+            ms = [p[1] for p in pairs]
+            mj_model, model = mj_models[0], ms[0]
+            variants = ms if len(ms) > 1 else None
 
         joints = [j for j in ALL_JOINTS if j not in joints_rm]
         obs_index = ObsIndex(model, joint_obs_spec(joints))
@@ -138,6 +139,8 @@ class UnitreeH1(RobotHumanoid):
             dtype=dtype,
             **kwargs,
         )
+        self._mj_model = mj_model
+        self._mj_models = mj_models
 
     @staticmethod
     def generate(task="walk", dataset_type="real", debug=False, **kwargs):

@@ -152,6 +152,9 @@ class UnitreeA1(LocoEnv):
             **kwargs,
         )
 
+        self._mj_model = mj_model
+        self._mj_models = [mj_model]
+
         # collision groups for ground-reaction forces (unitreeA1.py:223-228)
         gmap = model.names["geom"]
         self._floor_ids = np.asarray([gmap["floor"]])

@@ -180,9 +180,21 @@ class RowPlan:
             # (observed: G1's 320 rows crash tpu_compile_helper). Such
             # models keep the XLA path.
             return
-        # elliptic (A1: 306 rows, nv=18): gate on a VMEM estimate instead —
-        # J tiles + row quantities + Hessian/Cholesky + rank-1 tiles +
-        # double-buffered inputs, f32 at BE=128 lanes
+        if self.elliptic and (self.nrows > 320 or model.nv > 24):
+            # hard cap alongside the estimate below: models past the
+            # validated envelope (A1: 306 rows, nv=18) keep the XLA path
+            # instead of risking a tpu_compile_helper crash.
+            return
+        # elliptic: gate on a scoped-VMEM estimate — J tiles + row
+        # quantities + Hessian/Cholesky + rank-1 tiles + double-buffered
+        # inputs, f32 at BE=128 lanes. The raw term count underestimates
+        # Mosaic's live-range peak by ~3.3x (A1 estimate 8.4 MB vs 27.4 MB
+        # observed scoped allocation), hence the calibration factor. The
+        # budget is the compiler's scoped limit, raised per-executable via
+        # jax.jit(..., compiler_options=utils.tpu.tpu_compiler_options())
+        # (bench and the shipped training/replay entry points all do;
+        # LMT_SCOPED_VMEM_KIB mirrors the value for this gate). Interpret
+        # mode (CPU kernel-parity tests) has no scoped VMEM at all.
         est = 4 * _BE * (
             self.nrows * (model.nv + 14)
             + 3 * model.nv * model.nv
@@ -191,7 +203,12 @@ class RowPlan:
             + model.nbody * 20
             + 8 * model.nv
         )
-        if est > 11 * 2**20:
+        if self.elliptic:
+            est = int(est * 3.3)
+        import os as _os
+
+        limit_kib = int(_os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
+        if est > (limit_kib * 1024) * 0.95 and not pn._INTERPRET:
             return
 
         # dof chain table for in-kernel mask construction

@@ -37,6 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .constraint import MINVAL
 from .pallas_collision import pallas_enabled  # noqa: F401  (re-exported)
 
 _BE = 128  # env block (one lane tile; BE=256 measured ~6% slower —
@@ -116,7 +117,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         for (s, cnt, d) in ell_runs:
             Db = D[s:s + cnt * d].reshape(cnt, d, -1)
             dn = Db[:, 0]
-            scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], 1e-30))
+            scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], MINVAL))
             mu = ell_mu[off:off + cnt]  # (cnt, BE)
             act_n = act[s:s + cnt * d].reshape(cnt, d, -1)[:, 0]
             dm = dn / (1.0 + mu * mu)
@@ -150,7 +151,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         u = jb * e["scale"]
         n = u[:, 0]
         t = jnp.sqrt(jnp.sum(u[:, 1:] ** 2, axis=1))
-        tsafe = jnp.maximum(t, 1e-15)
+        tsafe = jnp.maximum(t, MINVAL)
         mu = e["mu"]
         top = n >= mu * t
         bottom = (mu * n + t) <= 0.0
@@ -511,26 +512,32 @@ _SOLVER_CACHE: dict = {}
 
 
 def row_class_counts(is_bilateral, is_fl):
-    """(ne, nfl) for the static row program; asserts the assembly order
-    (equality block first, friction-loss block second) the solver relies
-    on — make_constraint always emits classes contiguously."""
+    """(ne, nfl) for the static row program, or None if the row classes are
+    not the contiguous (equality block, friction-loss block, rest) order the
+    solver's static program relies on — make_constraint always emits classes
+    contiguously today, but a reordering must degrade to the XLA path, not
+    crash the step."""
     eq = np.asarray(is_bilateral, dtype=bool)
     fl = np.asarray(is_fl, dtype=bool)
     ne = int(eq.sum())
     nfl = int(fl.sum())
     if not (np.all(eq[:ne]) and not np.any(eq[ne:])):
-        raise ValueError("equality rows are not a contiguous prefix")
+        return None
     if not (np.all(fl[ne:ne + nfl]) and nfl == int(fl.sum())
             and not np.any(fl[:ne]) and not np.any(fl[ne + nfl:])):
-        raise ValueError("friction-loss rows are not contiguous after eq")
+        return None
     return ne, nfl
 
 
 def get_solver(efc, iterations: int, ls_iterations: int):
     """Factory: a custom-vmap solve fn bound to this model's static row
-    classification. Call unbatched inside the per-env trace; under vmap the
-    whole batch dispatches to one fused kernel."""
-    ne, nfl = row_class_counts(efc.is_bilateral, efc.is_fl)
+    classification, or None when the row layout is unsupported (caller
+    keeps the XLA path). Call unbatched inside the per-env trace; under
+    vmap the whole batch dispatches to one fused kernel."""
+    counts = row_class_counts(efc.is_bilateral, efc.is_fl)
+    if counts is None:
+        return None
+    ne, nfl = counts
     nefc = len(efc.is_fl)
     key = (nefc, iterations, ls_iterations, ne, nfl)
     hit = _SOLVER_CACHE.get(key)

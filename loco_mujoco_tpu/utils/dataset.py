@@ -5,7 +5,8 @@ download helpers mirror the reference's Zenodo layout; in offline
 environments they verify presence and print the manual instructions instead
 of fetching (this build environment has no egress). `adapt_mocap` is the
 per-joint linear retargeting used by the conversion scripts
-(datasets/data_generation/conversion/*).
+(examples/dataset_generation/*), reformulated as a vectorized dict
+pipeline over the .mat channel table.
 """
 
 from __future__ import annotations
@@ -16,12 +17,28 @@ from pathlib import Path
 import numpy as np
 import scipy.io as sio
 
-# Zenodo records used by the reference (dataset.py:34,47,68,81)
+# Zenodo record used by the reference (dataset.py:34,47,68,81,104)
 ZENODO_URLS = {
-    "humanoid_real": "https://zenodo.org/records/10102870",
-    "humanoid_perfect": "https://zenodo.org/records/10093870",
-    "quadruped_real": "https://zenodo.org/records/10102870",
-    "quadruped_perfect": "https://zenodo.org/records/10093870",
+    "humanoid_real": (
+        "https://zenodo.org/records/13737593/files/"
+        "humanoid_datasets_v0.4.1.zip?download=1"
+    ),
+    "quadruped_real": (
+        "https://zenodo.org/records/13737593/files/"
+        "quadruped_datasets_v0.4.1.zip?download=1"
+    ),
+    "humanoid_perfect": (
+        "https://zenodo.org/records/13737593/files/"
+        "humanoid_datasets_perfect_v0.4.1.zip?download=1"
+    ),
+    "quadruped_perfect": (
+        "https://zenodo.org/records/13737593/files/"
+        "quadruped_datasets_perfect_v0.4.1.zip?download=1"
+    ),
+    "raw_mocap": (
+        "https://zenodo.org/records/10625721/files/"
+        "raw_motion_capture_v0.1.zip?download=1"
+    ),
 }
 
 DATASET_ROOT = Path(
@@ -59,6 +76,7 @@ def download_real_datasets():
         print(
             "No network access. Download the real datasets manually from\n"
             f"  {ZENODO_URLS['humanoid_real']}\n"
+            f"  {ZENODO_URLS['quadruped_real']}\n"
             f"and unpack them under {DATASET_ROOT} (or set "
             "LOCO_MUJOCO_TPU_DATASETS)."
         )
@@ -74,7 +92,22 @@ def download_perfect_datasets():
         print(
             "No network access. Download the perfect datasets manually from\n"
             f"  {ZENODO_URLS['humanoid_perfect']}\n"
+            f"  {ZENODO_URLS['quadruped_perfect']}\n"
             f"and unpack them under {DATASET_ROOT}."
+        )
+
+
+def download_raw_mocap_datasets():
+    """Raw (un-retargeted) mocap recordings (reference dataset.py:91-111)."""
+    present = (DATASET_ROOT / "data_generation" / "00_raw_mocap_data").is_dir()
+    if present:
+        print(f"raw mocap data present at {DATASET_ROOT}")
+        return
+    if not _try_download("raw_mocap", DATASET_ROOT):
+        print(
+            "No network access. Download the raw mocap data manually from\n"
+            f"  {ZENODO_URLS['raw_mocap']}\n"
+            f"and unpack it under {DATASET_ROOT}/data_generation."
         )
 
 
@@ -84,66 +117,60 @@ def download_all_datasets():
     download_perfect_datasets()
 
 
+def _mat_channels(path):
+    """Load a mocap .mat as {channel_name: (pos_row, vel_row)} plus extras.
+
+    The capture format is fixed externally (OpenSim IK output): angle
+    matrix `angJoi`, velocity matrix `angDJoi`, row labels `rowNameIK`
+    (or `rowName`), optional `goal` channel.
+    """
+    data = sio.loadmat(path)
+    names_raw = data.get("rowNameIK", data.get("rowName"))
+    if names_raw is None:
+        raise KeyError(f"{path}: no rowNameIK/rowName channel table")
+    names = [str(cell[0]) for cell in np.squeeze(names_raw)]
+    pos = np.asarray(data["angJoi"], dtype=np.float64)
+    vel = np.asarray(data["angDJoi"], dtype=np.float64)
+    channels = {n: (pos[i], vel[i]) for i, n in enumerate(names)}
+    return channels, data.get("goal"), pos.shape[1]
+
+
 def adapt_mocap(path, joint_conf, unavailable_keys, rename_map=None,
                 discard_first=None, discard_last=None):
-    """Linear retargeting of a .mat mocap recording to a robot's joint set
-    (reference dataset.py:114-203): per-joint multiplier/offset on angles,
-    multiplier on velocities, renaming, zero/constant fill for joints the
-    mocap lacks, head/tail trimming."""
-    euler_keys = list(joint_conf.keys())
-    multipliers = [joint_conf[k][0] for k in euler_keys]
-    offsets = [joint_conf[k][1] for k in euler_keys]
+    """Retarget a .mat mocap recording to a robot's joint set.
 
-    data = sio.loadmat(path)
-    joint_pos = data["angJoi"]
-    joint_vel = data["angDJoi"]
-    try:
-        joint_names = data["rowNameIK"]
-    except KeyError:
-        joint_names = data["rowName"]
-    joint_names = np.array([name[0] for name in np.squeeze(joint_names)])
+    Same behavior as reference dataset.py:114-203: each configured mocap
+    channel maps to robot keys ``q_<name>``/``dq_<name>`` through a linear
+    transform (``pos*mult + off``, ``vel*mult``), names are optionally
+    rewritten via `rename_map`, joints absent from the capture are filled
+    with a constant (dict form) or zero (list form), and `discard_first` /
+    `discard_last` trim the capture's lead-in/out frames.
+    """
+    channels, goal, n_frames = _mat_channels(path)
+    rename = rename_map or {}
 
-    n_datapoint = len(joint_pos[0])
-    joint_pos = dict(zip(joint_names, joint_pos))
-    joint_vel = dict(zip(joint_names, joint_vel))
+    out = {}
+    for src, (mult, off) in joint_conf.items():
+        pos, vel = channels[src]
+        name = rename.get(src, src)
+        out[f"q_{name}"] = pos * mult + off
+        out[f"dq_{name}"] = vel * mult
 
-    joint_pos = np.array([joint_pos[k] for k in euler_keys])
-    joint_vel = np.array([joint_vel[k] for k in euler_keys])
+    if goal is not None:
+        out["goal"] = np.asarray(goal, dtype=np.float64)[0]
 
-    mult = np.asarray(multipliers)[:, None]
-    offs = np.asarray(offsets)[:, None]
-    joint_pos = joint_pos * mult + offs
-    joint_vel = joint_vel * mult
-
-    trajec = np.concatenate((joint_pos, joint_vel))
-
-    if rename_map is not None:
-        for k, v in rename_map.items():
-            i = euler_keys.index(k)
-            euler_keys[i] = v
-
-    keys = ["q_" + k for k in euler_keys] + ["dq_" + k for k in euler_keys]
-
-    if "goal" in data.keys():
-        keys.append("goal")
-        trajec = np.concatenate((trajec, data["goal"]))
-
-    dataset = dict(zip(keys, trajec))
-
-    if isinstance(unavailable_keys, list):
-        for ukey in unavailable_keys:
-            dataset["q_" + ukey] = np.zeros(n_datapoint)
-            dataset["dq_" + ukey] = np.zeros(n_datapoint)
-    elif isinstance(unavailable_keys, dict):
-        for ukey, val in unavailable_keys.items():
-            dataset["q_" + ukey] = np.ones(n_datapoint) * val
-            dataset["dq_" + ukey] = np.zeros(n_datapoint)
+    if isinstance(unavailable_keys, dict):
+        fills = dict(unavailable_keys)
+    elif isinstance(unavailable_keys, (list, tuple)):
+        fills = {k: 0.0 for k in unavailable_keys}
     else:
-        raise TypeError
+        raise TypeError(
+            "unavailable_keys must be a list of names or a {name: value} dict"
+        )
+    for name, value in fills.items():
+        out[f"q_{name}"] = np.full(n_frames, float(value))
+        out[f"dq_{name}"] = np.zeros(n_frames)
 
-    for j_name, val in dataset.items():
-        val_temp = val[discard_first:]
-        val_temp = val_temp[0:-discard_last] if discard_last else val_temp
-        dataset[j_name] = val_temp
-
-    return dataset
+    lo = discard_first or 0
+    hi = -discard_last if discard_last else None
+    return {k: v[lo:hi] for k, v in out.items()}

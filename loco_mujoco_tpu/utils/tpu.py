@@ -1,0 +1,41 @@
+"""TPU compiler configuration helpers.
+
+The fused constraint kernels keep a whole env block's solver state on the
+Mosaic scoped-VMEM stack; large elliptic models (UnitreeA1: 306 rows x 128
+envs of live Newton state) exceed the compiler's default 16 MiB scoped
+limit. The limit is a per-executable XLA option — raising it costs nothing
+when unused (it only bounds what the compiler may allocate), so every jit
+of an env step should carry it on TPU backends.
+
+Usage: ``jax.jit(fn, compiler_options=tpu_compiler_options())``.
+The value is mirrored into ``LMT_SCOPED_VMEM_KIB`` so the kernel plan gate
+(`ops/pallas_constraint.py`) knows the budget it may assume.
+"""
+
+from __future__ import annotations
+
+import os
+
+SCOPED_VMEM_KIB = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
+# the gate reads LMT_SCOPED_VMEM_KIB at plan-build time; make the default
+# visible to it even when the caller never set the env var
+os.environ.setdefault("LMT_SCOPED_VMEM_KIB", str(SCOPED_VMEM_KIB))
+
+
+def tpu_compiler_options() -> dict | None:
+    """Per-jit compiler options for env-step executables, or None off-TPU.
+
+    Passed as ``jax.jit(..., compiler_options=...)``; these ride the
+    compile request as proto-backed DebugOptions, so they work through
+    remote-compile tunnels where process-level XLA_FLAGS cannot carry
+    TPU-only flags.
+    """
+    import jax
+
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return None
+    if platform not in ("tpu", "axon"):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}

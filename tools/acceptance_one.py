@@ -1,0 +1,151 @@
+"""One-task acceptance rollout: our batched env vs a CPU MuJoCo oracle twin.
+
+Generalizes the oracle-twin pattern of tests/test_env_rollout.py /
+test_humanoid_rollout.py to EVERY registered task, following the reference's
+own acceptance harness (reference tests/test_environments.py:67-94: fixed
+seed, 0.1*randn actions, observation-stream agreement). Instead of the
+reference's stored goldens (bit-tied to MuJoCo 2.3.7 and its global
+np.random stream), the oracle is live CPU MuJoCo run on the SAME surgeried
+model the env compiled (env._mj_models), with our PRNG driving both sides —
+the seed-parity contract documented in PARITY.md.
+
+Usage: python tools/acceptance_one.py <task> [steps] [seed]
+Exit 0 on parity, 1 on divergence, 3 on skip (dataset/assets unavailable).
+Runs on CPU in float64 (launch with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+to skip the TPU claim).
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_platforms", "cpu")
+
+QPOS_ATOL = 1e-6
+OBS_ATOL = 1e-5
+
+
+def oracle_obs(env, mj_data, state):
+    """Reference observation assembly on oracle state: spec vector minus
+    global x/y, then the env family's extensions."""
+    oi = env.obs_index
+    qpos = np.array([mj_data.qpos[i] for i in oi.qpos_idx])
+    qvel = np.array([mj_data.qvel[i] for i in oi.qvel_idx])
+    obs = np.concatenate([qpos, qvel])[2:]
+
+    if hasattr(env, "_rot_start"):  # UnitreeA1: goal features
+        from loco_mujoco_tpu.utils import math as um
+
+        goal = np.asarray(state.goal)
+        angle = um.transform_angle_2pi(float(goal[0])) - np.pi / 2
+        obs = np.concatenate(
+            [obs, [np.cos(angle), np.sin(angle)], [goal[1]]]
+        )
+
+    if getattr(env, "use_foot_forces", False):
+        # the GRF window mean is stateful; acceptance envs run without it
+        raise NotImplementedError
+
+    if hasattr(env, "_env_id_len"):  # 4-ages env-id bits (big-endian)
+        idx = (
+            int(state.env_id)
+            if env._fixed_model_idx is None
+            else env._fixed_model_idx
+        )
+        bits = [
+            float((idx >> (env._env_id_len - 1 - k)) & 1)
+            for k in range(env._env_id_len)
+        ]
+        obs = np.concatenate([obs, bits])
+    elif getattr(env, "hold_weight", False):
+        w = float(np.asarray(env.weight_masses)[int(state.env_id)])
+        obs = np.concatenate([obs, [w]])
+    return obs
+
+
+def run(task: str, steps: int = 25, seed: int = 11) -> int:
+    import loco_mujoco_tpu as lmt
+
+    try:
+        env = lmt.make(
+            task, debug=True, dtype=jnp.float64,
+            use_absorbing_states=False, auto_reset=False,
+            solver_iterations=100, ls_iterations=50,
+        )
+    except FileNotFoundError as e:
+        print(f"SKIP {task}: {e}")
+        return 3
+
+    # widen the static contact budgets so every oracle contact fits even
+    # during falls (the bench configs use the tighter defaults)
+    env.model = env.model.replace(contact_k_plane=32, contact_k_other=8)
+    if env.variants is not None:
+        env.variants = env.variants.replace(
+            contact_k_plane=32, contact_k_other=8
+        )
+
+    state = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+    step_fn = jax.jit(env.step)
+
+    env_id = int(state.env_id)
+    mj_model = env._mj_models[min(env_id, len(env._mj_models) - 1)]
+    mj_data = mujoco.MjData(mj_model)
+    mj_data.qpos[:] = np.asarray(state.data.qpos)
+    mj_data.qvel[:] = np.asarray(state.data.qvel)
+    mujoco.mj_forward(mj_model, mj_data)
+
+    obs0 = oracle_obs(env, mj_data, state)
+    np.testing.assert_allclose(
+        np.asarray(state.obs), obs0, atol=1e-9,
+        err_msg=f"{task}: reset obs mismatch",
+    )
+
+    rng = np.random.default_rng(seed)
+    max_q = max_o = 0.0
+    for i in range(steps):
+        action = rng.normal(scale=0.1, size=env.action_dim)
+        ctrl = action * np.asarray(env.norm_act_delta) + np.asarray(
+            env.norm_act_mean
+        )
+        mj_data.ctrl[:] = ctrl
+        for _ in range(env.n_substeps):
+            mujoco.mj_step(mj_model, mj_data)
+        state = step_fn(state, jnp.asarray(action))
+
+        qerr = float(np.max(np.abs(np.asarray(state.data.qpos) - mj_data.qpos)))
+        oerr = float(
+            np.max(np.abs(np.asarray(state.obs) - oracle_obs(env, mj_data, state)))
+        )
+        max_q, max_o = max(max_q, qerr), max(max_o, oerr)
+        if qerr > QPOS_ATOL or oerr > OBS_ATOL:
+            print(
+                f"FAIL {task}: diverged at control step {i} "
+                f"(qpos err {qerr:.2e}, obs err {oerr:.2e})"
+            )
+            return 1
+        if env.model.na:
+            aerr = float(
+                np.max(np.abs(np.asarray(state.data.act) - mj_data.act))
+            )
+            if aerr > 1e-6:
+                print(f"FAIL {task}: act diverged at step {i} ({aerr:.2e})")
+                return 1
+
+    print(
+        f"PASS {task}: {steps} steps, env_id={env_id}, "
+        f"max qpos err {max_q:.2e}, max obs err {max_o:.2e}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    task = sys.argv[1]
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 11
+    sys.exit(run(task, steps, seed))
