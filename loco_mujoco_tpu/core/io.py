@@ -198,11 +198,10 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
               contact_k_other=4, hull_indices=None) -> Model:
     """Extract a compiled MjModel into our JAX Model pytree.
 
-    hull_indices: optional list of per-mesh-geom vertex index arrays (in
-    geom order, as returned by `hull_vert_indices`) that fixes the convex
-    hull topology — required when building model variants whose numeric
-    mesh vertices differ (4-ages scalings) but whose static hull masks
-    must be identical for leaf stacking.
+    hull_indices: DEPRECATED, ignored. Hull topology now always comes from
+    MuJoCo's own compiled mesh graph, which is identical across model
+    variants built from the same XML (mj_setConst does not recompute it),
+    so variant leaf stacking needs no external coordination.
     """
 
     def jarr(x):
@@ -233,39 +232,72 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         pair_gap[i] = gp
 
     # --- convex hulls for mesh geoms ---------------------------------------
+    # Vertex sets, ordering and adjacency come from MuJoCo's OWN compiled
+    # hull graph (mjModel.mesh_graph: numvert, numface, vert_edgeadr,
+    # vert_globalid, edge_localid) so the collision driver can reproduce
+    # mjc_PlaneConvex's contact selection exactly: support vertex, then its
+    # graph neighbors in stored edge order (libmujoco 3.10,
+    # mjc_PlaneConvex/addplanemesh). Meshes without a graph or with < 10
+    # vertices use MuJoCo's brute path (mjc_initCCDObj gate): all vertices
+    # in storage order. hull_indices (deprecated) is ignored — variants
+    # compiled from the same XML share the same graph by construction.
+    del hull_indices
     mesh_geoms = [g for g in range(m.ngeom) if m.geom_type[g] == _MESH]
     geom_meshid = np.full(m.ngeom, -1, dtype=np.int32)
-    hulls = []
+    hulls, hull_nbrs, hull_brute = [], [], []
     for g in mesh_geoms:
         mid = int(m.geom_dataid[g])
         adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
         verts = np.asarray(m.mesh_vert[adr : adr + num])
-        if hull_indices is not None:
-            # caller-supplied hull topology: model VARIANTS (4-ages
-            # scalings) must share vertex masks (static aux data), and a
-            # uniform scale maps a hull onto the scaled hull exactly —
-            # re-running qhull per variant can pick different vertex sets
-            verts = verts[hull_indices[len(hulls)]]
-        elif num > 16:
-            try:
-                from scipy.spatial import ConvexHull
-
-                hull = ConvexHull(verts)
-                verts = verts[np.sort(hull.vertices)]
-            except Exception:
-                pass
+        gadr = int(m.mesh_graphadr[mid]) if m.mesh_graph.size else -1
+        if gadr >= 0 and num >= 10:
+            graph = np.asarray(m.mesh_graph[gadr:])
+            nv_h = int(graph[0])
+            edgeadr = graph[2 : 2 + nv_h]
+            globid = graph[2 + nv_h : 2 + 2 * nv_h]
+            edges = graph[2 + 2 * nv_h :]
+            nbrs = []
+            for i in range(nv_h):
+                j = int(edgeadr[i])
+                lst = []
+                while edges[j] >= 0:
+                    lst.append(int(edges[j]))
+                    j += 1
+                nbrs.append(np.asarray(lst, dtype=np.int32))
+            verts = verts[globid]
+            brute = False
+        else:
+            nbrs = None
+            brute = True
         geom_meshid[g] = len(hulls)
         hulls.append(verts)
+        hull_nbrs.append(nbrs)
+        hull_brute.append(brute)
     if hulls:
         maxvert = max(v.shape[0] for v in hulls)
         mesh_vert = np.zeros((len(hulls), maxvert, 3))
         mesh_vertmask = np.zeros((len(hulls), maxvert), dtype=bool)
+        # ragged per-mesh adjacency (a dense (ngeom, maxvert, maxdeg) table
+        # would be ~100 MB for G1's 5k-vert hulls of degree 98)
+        nbr_tables = []
+        mesh_brute = np.asarray(hull_brute, dtype=bool)
         for i, v in enumerate(hulls):
             mesh_vert[i, : v.shape[0]] = v
             mesh_vertmask[i, : v.shape[0]] = True
+            if hull_nbrs[i] is None:
+                nbr_tables.append(None)
+            else:
+                deg = max(1, max(len(l) for l in hull_nbrs[i]))
+                t = np.full((v.shape[0], deg), -1, dtype=np.int32)
+                for vi, lst in enumerate(hull_nbrs[i]):
+                    t[vi, : len(lst)] = lst
+                nbr_tables.append(t)
+        mesh_nbr = tuple(nbr_tables)
     else:
         mesh_vert = np.zeros((0, 1, 3))
         mesh_vertmask = np.zeros((0, 1), dtype=bool)
+        mesh_nbr = ()
+        mesh_brute = np.zeros((0,), dtype=bool)
 
     # --- tendon site paths ---------------------------------------------------
     if m.ntendon:
@@ -359,6 +391,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         geom_pos=jarr(m.geom_pos),
         geom_quat=jarr(m.geom_quat),
         geom_size=jarr(m.geom_size),
+        geom_rbound=jarr(m.geom_rbound),
         geom_friction=jarr(m.geom_friction),
         geom_margin=jarr(m.geom_margin),
         geom_gap=jarr(m.geom_gap),
@@ -382,6 +415,8 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         eq_solimp=jarr(m.eq_solimp),
         mesh_vert=jarr(mesh_vert),
         mesh_vertmask=np.asarray(mesh_vertmask),
+        mesh_nbr=mesh_nbr,
+        mesh_brute=np.asarray(mesh_brute),
         body_invweight0=jarr(m.body_invweight0),
         dof_invweight0=jarr(m.dof_invweight0),
         tendon_invweight0=jarr(m.tendon_invweight0),
@@ -458,29 +493,6 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
     )
     # single batched transfer of all dynamic leaves (see jarr above)
     return jax.device_put(model)
-
-
-def hull_vert_indices(m: mujoco.MjModel):
-    """Convex-hull vertex index arrays for every mesh geom (in geom order),
-    matching put_model's default hull extraction. Pass to put_model for
-    model variants that must share hull topology."""
-    out = []
-    for g in range(m.ngeom):
-        if int(m.geom_type[g]) != int(GeomType.MESH):
-            continue
-        mid = int(m.geom_dataid[g])
-        adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
-        idx = np.arange(num)
-        if num > 16:
-            try:
-                from scipy.spatial import ConvexHull
-
-                hull = ConvexHull(np.asarray(m.mesh_vert[adr : adr + num]))
-                idx = np.sort(hull.vertices)
-            except Exception:
-                pass
-        out.append(idx)
-    return out
 
 
 def load_model(xml_path: str, dtype=jnp.float32, **kw) -> Model:

@@ -155,6 +155,7 @@ class Model:
     geom_pos: jax.Array  # (ngeom, 3)
     geom_quat: jax.Array  # (ngeom, 4)
     geom_size: jax.Array  # (ngeom, 3)
+    geom_rbound: jax.Array  # (ngeom,) bounding-sphere radius (mjModel)
     geom_friction: jax.Array  # (ngeom, 3)
     geom_margin: jax.Array  # (ngeom,)
     geom_gap: jax.Array  # (ngeom,)
@@ -182,6 +183,16 @@ class Model:
     # validity mask is static (hull topology never varies across model
     # variants) so the collision driver can bucket pairs by vertex count
     mesh_vertmask: np.ndarray = static_field()
+    # hull adjacency from MuJoCo's own qhull graph (mesh_graph
+    # vert_edgeadr/edge_localid): a tuple of per-mesh-geom (nvert_i, deg_i)
+    # int32 arrays of local vertex ids in stored edge order, -1 padded
+    # (None for brute meshes). mjc_PlaneConvex emits its extra contacts
+    # from the support vertex's neighbor list in exactly this order, so
+    # the tables are part of the oracle-parity contract.
+    mesh_nbr: tuple = static_field()
+    # per-mesh flag: no graph / tiny mesh (< 10 verts) — MuJoCo then scans
+    # ALL vertices in storage order instead of the support's neighbors
+    mesh_brute: np.ndarray = static_field()
     # precomputed inverse-weights from the host-side compiler (mjModel
     # *_invweight0) — numeric leaves so model VARIANTS (weight carrying,
     # 4-ages scalings, domain randomization) can batch them:

@@ -117,25 +117,17 @@ class BaseHumanoid4Ages(BaseHumanoid):
         models = []
         mj_models = []
         joints_rm = None
-        hull_idx = None
         for s in scalings:
             mj_model, j_rm, _ = _surgery(
                 xml, use_box_feet, disable_arms, alpha_box_feet
             )
             _scale_compiled(mj_model, s, use_muscles, use_box_feet)
             mj_models.append(mj_model)
-            if hull_idx is None:
-                # hull topology must be shared across scalings: the vertex
-                # masks are static aux data and the stacked variant leaves
-                # must agree (a uniform scale maps hulls onto scaled hulls
-                # exactly, so the first variant's hull indices are valid
-                # for all)
-                from ...core.io import hull_vert_indices
-
-                hull_idx = hull_vert_indices(mj_model)
-            models.append(
-                put_model(mj_model, dtype=dtype, hull_indices=hull_idx)
-            )
+            # hull topology is shared across scalings automatically: each
+            # variant compiles from the same XML, so MuJoCo's mesh graph
+            # (which put_model's hull tables come from) is identical, and
+            # _scale_compiled only rescales the vertex coordinates
+            models.append(put_model(mj_model, dtype=dtype))
             joints_rm = j_rm
 
         model = models[0]

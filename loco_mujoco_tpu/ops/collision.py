@@ -41,7 +41,7 @@ SLOTS = {
     (_PLANE, _CAPSULE): 2,
     (_PLANE, _CYLINDER): 4,
     (_PLANE, _BOX): 4,
-    (_PLANE, _MESH): 4,
+    (_PLANE, _MESH): 3,
     (_SPHERE, _SPHERE): 1,
     (_SPHERE, _CAPSULE): 1,
     (_SPHERE, _BOX): 1,
@@ -293,7 +293,7 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
         a = jnp.einsum("pij,pi->pj", gxm[pg2b], n_b)
         b = jnp.sum(n_b * (gxp[pg2b] - gxp[pg1b]), axis=-1)
         dist_s, pos, frame, meta = topk_fn(a, b, gxp, gxm)
-        frame = jnp.broadcast_to(frame[:, None], (g.k, 4, 3, 3))
+        frame = jnp.broadcast_to(frame[:, None], (g.k, g.slots, 3, 3))
         return (
             dist_s, pos, frame,
             meta[:, 0].astype(jnp.int32), meta[:, 1].astype(jnp.int32),
@@ -320,8 +320,8 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
         vsel_l.append(v_b)
         key_l.append(k_b)
         order.append(bpid)
-    dist = jnp.concatenate(dist_l, axis=0)  # (P, 4)
-    vsel = jnp.concatenate(vsel_l, axis=0)  # (P, 4, 3)
+    dist = jnp.concatenate(dist_l, axis=0)  # (P, slots)
+    vsel = jnp.concatenate(vsel_l, axis=0)  # (P, slots, 3)
     key = jnp.concatenate(key_l, axis=0)  # (P,)
     pid = np.concatenate(order)  # bucket-sorted pair order
 
@@ -351,7 +351,7 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
     else:
         OH = jnp.eye(P, dtype=dtype)
 
-    dist_s = OH @ dist  # (k, 4)
+    dist_s = OH @ dist  # (k, slots)
     vsel_s = jnp.einsum("sp,pfc->sfc", OH, vsel)
     n_s = OH @ n
     qp_s = OH @ qp
@@ -370,7 +370,7 @@ def _plane_mesh_group(model: Model, g: Group, data: Data):
 
     w = qp_s[:, None, :] + jnp.einsum("kij,ksj->ksi", qR_s, vsel_s)
     pos = w - n_s[:, None, :] * (0.5 * dist_s)[:, :, None]
-    frame = jnp.broadcast_to(make_frame(n_s)[:, None], (g.k, 4, 3, 3))
+    frame = jnp.broadcast_to(make_frame(n_s)[:, None], (g.k, g.slots, 3, 3))
     return dist_s, pos, frame, g1_s, g2_s, fri_s, sref_s, simp_s, marg_s
 
 
@@ -390,7 +390,7 @@ def _pallas_group_topk_fn(model: Model, g: Group, dtype):
         return None
     if isinstance(model.mesh_vert, jax.core.Tracer) or isinstance(
         model.pair_margin, jax.core.Tracer
-    ):
+    ) or isinstance(model.geom_rbound, jax.core.Tracer):
         return None
     try:
         pid = np.asarray(g.pair_ids)
@@ -403,47 +403,19 @@ def _pallas_group_topk_fn(model: Model, g: Group, dtype):
         )
     except Exception:
         return None
-    hit = _PALLAS_TOPK_CACHE.get(key)
-    if hit is not None:
-        return hit
+    if key in _PALLAS_TOPK_CACHE:
+        return _PALLAS_TOPK_CACHE[key]
 
     vcap = int(np.asarray(model.mesh_vertmask).shape[1])
-    pg2 = model.pair_geom2[pid]
-    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
-    vraw = np.asarray(model.mesh_vert)[mesh_ids, :vcap]
-    vmask = np.asarray(model.mesh_vertmask)[mesh_ids, :vcap]
-    verts = np.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(
-        np.float32
-    )
-    counts = vmask.sum(axis=1)
 
     # vertex sub-buckets (same packing as make_plane_mesh_select), with the
     # pair order REARRANGED to bucket-major so the kernel consumes the
     # concatenated per-bucket outputs directly
-    def bucket_size(c):
-        c = max(int(c), 8)
-        s = 32
-        while s < c:
-            s += 32
-        return min(s, ((verts.shape[1] + 7) // 8) * 8)
-
-    buckets: dict = {}
-    for p in range(len(pid)):
-        buckets.setdefault(bucket_size(counts[p]), []).append(p)
-    if max(buckets) > 896:
-        return None  # oversized hull: VMEM (see _pallas_select_fn)
-    subs, order = [], []
-    margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
-    for vb, ids in sorted(buckets.items()):
-        ids = np.asarray(ids)
-        vt = np.zeros((len(ids), 3, vb), np.float32)
-        src = np.moveaxis(verts[ids], -1, 1)
-        vt[:, :, : min(vb, verts.shape[1])] = src[:, :, :vb]
-        if vb > verts.shape[1]:
-            vt[:, :, verts.shape[1]:] = vt[:, :, 0:1]
-        subs.append((ids, vt, tuple(float(m) for m in margin[ids])))
-        order.append(ids)
-    border = np.concatenate(order)  # bucket-major order within the group
+    packed = pc.pack_plane_mesh_buckets(model, pid, vcap)
+    if packed is None:
+        _PALLAS_TOPK_CACHE[key] = None
+        return None  # brute meshes or oversized hull: XLA path
+    subs, border = packed
     pid_b = pid[border]
 
     tbl = np.zeros((len(pid_b), 16), np.float32)
@@ -471,14 +443,10 @@ def _pallas_group_topk_fn(model: Model, g: Group, dtype):
 
 def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):
     """Fused plane-mesh selection kernel for this pair bucket, or None when
-    the XLA path must be used (non-TPU backend, f64 parity runs, or traced
-    mesh vertices from stacked model variants)."""
+    the XLA path must be used (non-TPU backend, f64 parity runs, traced
+    mesh vertices from stacked model variants, graph-less meshes, or hulls
+    too large for VMEM)."""
     if dtype != jnp.float32:
-        return None
-    if vcap > 896:
-        # the selection holds ~12 live (V, 256) f32 maps in VMEM; a
-        # 3200-vertex hull (G1 pelvis) exceeds the 16 MB limit even at one
-        # pair per program — the XLA narrowphase handles such buckets
         return None
     from . import pallas_collision as pc
 
@@ -486,39 +454,57 @@ def _pallas_select_fn(model: Model, pid: np.ndarray, vcap: int, dtype):
         return None
     if isinstance(model.mesh_vert, jax.core.Tracer) or isinstance(
         model.pair_margin, jax.core.Tracer
-    ):
+    ) or isinstance(model.geom_rbound, jax.core.Tracer):
         return None  # variant-batched meshes: vertices differ per env
-    pg2 = model.pair_geom2[pid]
-    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
-    vraw = np.asarray(model.mesh_vert)[mesh_ids, :vcap]
-    vmask = np.asarray(model.mesh_vertmask)[mesh_ids, :vcap]
-    verts = np.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(
-        np.float32
+    pid = np.asarray(pid)
+    key = (
+        np.asarray(model.mesh_vert).tobytes()[:256],
+        model.pair_geom2[pid].tobytes(),
+        np.asarray(model.pair_margin)[pid].tobytes(),
+        int(vcap),
     )
-    margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
-    counts = vmask.sum(axis=1)
-    key = (verts.tobytes(), margin.tobytes(), counts.tobytes())
-    fn = _PALLAS_SELECT_CACHE.get(key)
-    if fn is None:
-        fn = pc.make_plane_mesh_select(verts, margin, counts)
-        _PALLAS_SELECT_CACHE[key] = fn
+    if key in _PALLAS_SELECT_CACHE:
+        return _PALLAS_SELECT_CACHE[key]
+    packed = pc.pack_plane_mesh_buckets(model, pid, vcap)
+    if packed is None:
+        fn = None
+    else:
+        subs, border = packed
+        inv = np.argsort(border)
+        fn = pc.make_plane_mesh_select(subs, inv)
+    _PALLAS_SELECT_CACHE[key] = fn
     return fn
 
 
 def _plane_mesh_narrow(model: Model, pid: np.ndarray, vcap: int, data: Data):
     """Manifold selection for one bucket of plane-mesh pairs, padded to
-    vcap vertices. Returns (dist (P,4), vsel (P,4,3) mesh-local, key (P,))."""
+    vcap vertices. Returns (dist (P,3), vsel (P,3,3) mesh-local, key (P,)).
+
+    Exact replication of libmujoco 3.10's mjc_PlaneConvex (verified by
+    disassembly; see tests/test_collision.py):
+      * contact 0: the support vertex along -normal — for meshes with a
+        hull graph and >= 10 vertices this is a graph hill-climb, which on
+        a convex hull equals the global argmin of height (first index wins
+        ties); emitted when its height <= margin.
+      * contacts 1-2: walk the support vertex's hull-graph NEIGHBOR list in
+        stored edge order (mesh_nbr) — or, for graph-less/tiny meshes, ALL
+        vertices in storage order skipping the support — and emit the first
+        two with height < margin whose world distance to contact 0's
+        position is >= 0.3 * geom_size[mesh][0] (addplanemesh's dedupe).
+    All tests run in mesh-local coordinates: heights h = a·v + b with
+    a = R2ᵀn, b = n·(p2-p1); the dedupe distance |R(v-v0) + h0/2 n| equals
+    |(v-v0) + h0/2 a|.
+    """
     dtype = data.qpos.dtype
     pg1 = model.pair_geom1[pid]
     pg2 = model.pair_geom2[pid]
     mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
 
     # static per-pair vertex tables, padded with vertex 0 (duplicates never
-    # change argmin/argmax selections — they tie with the real vertex 0)
+    # change argmin selections — they tie with the real vertex 0)
     vraw = model.mesh_vert[mesh_ids, :vcap]  # (P, V, 3) — static gather
     vmask = jnp.asarray(model.mesh_vertmask[mesh_ids, :vcap])  # (P, V)
     verts = jnp.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(dtype)
-    vx, vy, vz = verts[:, :, 0], verts[:, :, 1], verts[:, :, 2]
 
     gxp, gxm = data.geom_xpos, data.geom_xmat
     pp, pR = gxp[pg1], gxm[pg1]
@@ -527,120 +513,88 @@ def _plane_mesh_narrow(model: Model, pid: np.ndarray, vcap: int, data: Data):
     a = jnp.einsum("pij,pi->pj", qR, n)  # R2ᵀ n — mesh-local plane normal
     b = jnp.sum(n * (qp - pp), axis=-1)  # (P,)
     margin = jnp.asarray(model.pair_margin[pid], dtype=dtype)
+    # addplanemesh rejects extra contacts within 0.3 * geom_rbound of
+    # contact 0 (libmujoco 3.10 disassembly: [m->geom_rbound + 8*g2] * 0.3)
+    dedupe_r = 0.3 * jnp.asarray(model.geom_rbound, dtype=dtype)[pg2]
 
     sel_fn = _pallas_select_fn(model, pid, vcap, dtype)
     if sel_fn is not None:
         # fused VMEM kernel returns slot depths AND the selected vertex
         # coordinates (a take_along_axis here lowered to layout-copy storms
         # costing more than the kernel itself)
-        dist, vsel = sel_fn(a, b)  # (P, 4), (P, 4, 3)
+        dist, vsel = sel_fn(a, b)  # (P, 3), (P, 3, 3)
         return dist, vsel, dist[:, 0] - margin
 
     big = jnp.asarray(1e10, dtype=dtype)
-    h = a[:, 0:1] * vx + a[:, 1:2] * vy + a[:, 2:3] * vz + b[:, None]  # (P,V)
+    h0_map = jnp.einsum("pvi,pi->pv", verts, a) + b[:, None]  # (P, V)
+    h = jnp.where(vmask, h0_map, big)
 
     i0 = jnp.argmin(h, axis=1)
     d0 = jnp.min(h, axis=1)
+    v0 = jnp.take_along_axis(verts, i0[:, None, None], axis=1)[:, 0]
+
+    brute = np.asarray(model.mesh_brute)[mesh_ids]  # (P,) static
     V = h.shape[1]
-    iota = jnp.arange(V)
+    P = len(pid)
 
-    def take(idx):
-        oh = (iota[None, :] == idx[:, None]).astype(dtype)  # (P, V)
-        vsel = jnp.stack(
-            [jnp.sum(vx * oh, axis=1), jnp.sum(vy * oh, axis=1),
-             jnp.sum(vz * oh, axis=1)], axis=-1)
-        hsel = jnp.sum(h * oh, axis=1)
-        return vsel, hsel
+    # candidate ids per pair, in the order MuJoCo scans them
+    if brute.all():
+        cand_ids = jnp.broadcast_to(jnp.arange(V)[None], (P, V))
+        cand_valid = vmask & (jnp.arange(V)[None] != i0[:, None])
+    else:
+        tabs = [model.mesh_nbr[mi] for mi in mesh_ids]
+        D = max(t.shape[1] for t in tabs if t is not None)
+        W = max(D, V) if brute.any() else D
+        nbr_np = np.full((P, vcap, W), -1, np.int32)
+        for p, t in enumerate(tabs):
+            if t is not None:
+                nv = min(t.shape[0], vcap)
+                nbr_np[p, :nv, : t.shape[1]] = t[:nv]
+        g_ids = jnp.take_along_axis(
+            jnp.asarray(nbr_np), i0[:, None, None], axis=1
+        )[:, 0]  # (P, W) — support vertex's neighbor list
+        if brute.any():
+            # mixed bucket: brute pairs scan all verts in storage order
+            b_ids = jnp.pad(
+                jnp.broadcast_to(jnp.arange(V)[None], (P, V)),
+                ((0, 0), (0, W - V)), constant_values=-1,
+            )
+            b_valid = (b_ids >= 0) & jnp.pad(
+                vmask & (jnp.arange(V)[None] != i0[:, None]),
+                ((0, 0), (0, W - V)),
+            )
+            bsel = jnp.asarray(brute)[:, None]
+            cand_ids = jnp.where(bsel, b_ids, g_ids)
+            cand_valid = jnp.where(bsel, b_valid, g_ids >= 0)
+        else:
+            cand_ids, cand_valid = g_ids, g_ids >= 0
 
-    v0, _ = take(i0)
-    cand = h < margin[:, None]
-
-    dvx, dvy, dvz = vx - v0[:, 0:1], vy - v0[:, 1:2], vz - v0[:, 2:3]
-    dh = h - d0[:, None]
-    dist2 = dvx * dvx + dvy * dvy + dvz * dvz - dh * dh
-    dist2 = jnp.where(cand, dist2, -big)
-    i1 = jnp.argmax(dist2, axis=1)
-    far2 = jnp.max(dist2, axis=1)
-    v1, d1 = take(i1)
-    has1 = far2 > 1e-12
-
-    u = v1 - v0
-    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-15)
-    # cr = a · ((v - v0) × u): side extent of each vertex about the 0-1 line
-    cx = dvy * u[:, 2:3] - dvz * u[:, 1:2]
-    cy = dvz * u[:, 0:1] - dvx * u[:, 2:3]
-    cz = dvx * u[:, 1:2] - dvy * u[:, 0:1]
-    cr = a[:, 0:1] * cx + a[:, 1:2] * cy + a[:, 2:3] * cz
-    cr = jnp.where(cand, cr, 0.0)
-    i2 = jnp.argmax(cr, axis=1)
-    c2 = jnp.max(cr, axis=1)
-    v2, d2 = take(i2)
-    has2 = has1 & (c2 > 1e-10)
-    i3 = jnp.argmin(cr, axis=1)
-    c3 = jnp.min(cr, axis=1)
-    v3, d3 = take(i3)
-    has3 = has1 & (c3 < -1e-10)
-
-    dist = jnp.stack(
-        [d0, jnp.where(has1, d1, big), jnp.where(has2, d2, big),
-         jnp.where(has3, d3, big)], axis=1)  # (P, 4)
-    vsel = jnp.stack([v0, v1, v2, v3], axis=1)  # (P, 4, 3)
-    return dist, vsel, d0 - margin
-
-
-def plane_convex(pp, pR, s1, qp, qR, s2, extra):
-    """mjc_PlaneConvex selection: deepest vertex, farthest-from-it, and the
-    two extreme side vertices of the line between them (within margin)."""
-    verts, vmask, margin = extra  # (k, V, 3), (k, V), (k,)
-    dtype = pp.dtype
-    k = pp.shape[0]
-    n = pR[:, :, 2]
-    w = qp[:, None, :] + jnp.einsum("kij,kvj->kvi", qR, verts)  # (k, V, 3)
-    h = jnp.sum(n[:, None, :] * (w - pp[:, None, :]), axis=-1)  # (k, V)
-    h = jnp.where(vmask, h, 1e10)
-
-    cand = h < margin[:, None]
-    big = jnp.asarray(1e10, dtype=dtype)
-
-    i0 = jnp.argmin(h, axis=1)
-    w0 = jnp.take_along_axis(w, i0[:, None, None], axis=1)[:, 0]  # (k, 3)
-    d0 = jnp.take_along_axis(h, i0[:, None], axis=1)[:, 0]
-
-    # in-plane offsets from v0
-    off = w - w0[:, None, :]
-    off = off - n[:, None, :] * jnp.sum(off * n[:, None, :], axis=-1, keepdims=True)
-    dist2 = jnp.sum(off * off, axis=-1)
-    dist2 = jnp.where(cand, dist2, -big)
-    i1 = jnp.argmax(dist2, axis=1)
-    far2 = jnp.take_along_axis(dist2, i1[:, None], axis=1)[:, 0]
-    w1 = jnp.take_along_axis(w, i1[:, None, None], axis=1)[:, 0]
-    d1 = jnp.take_along_axis(h, i1[:, None], axis=1)[:, 0]
-    has1 = far2 > 1e-12
-
-    u = w1 - w0
-    u = u / jnp.maximum(jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-15)
-    cr = jnp.sum(n[:, None, :] * jnp.cross(off, u[:, None, :]), axis=-1)
-    cr = jnp.where(cand, cr, 0.0)
-    i2 = jnp.argmax(cr, axis=1)
-    c2 = jnp.take_along_axis(cr, i2[:, None], axis=1)[:, 0]
-    w2 = jnp.take_along_axis(w, i2[:, None, None], axis=1)[:, 0]
-    d2 = jnp.take_along_axis(h, i2[:, None], axis=1)[:, 0]
-    has2 = has1 & (c2 > 1e-10)
-    i3 = jnp.argmin(cr, axis=1)
-    c3 = jnp.take_along_axis(cr, i3[:, None], axis=1)[:, 0]
-    w3 = jnp.take_along_axis(w, i3[:, None, None], axis=1)[:, 0]
-    d3 = jnp.take_along_axis(h, i3[:, None], axis=1)[:, 0]
-    has3 = has1 & (c3 < -1e-10)
-
-    dist = jnp.stack(
-        [d0, jnp.where(has1, d1, big), jnp.where(has2, d2, big),
-         jnp.where(has3, d3, big)],
-        axis=1,
+    j = jnp.maximum(cand_ids, 0)
+    h_c = jnp.take_along_axis(h, j, axis=1)  # (P, C)
+    v_c = jnp.take_along_axis(
+        verts, j[:, :, None].astype(jnp.int32), axis=1
+    )  # (P, C, 3)
+    delta = v_c - v0[:, None, :] + (0.5 * d0)[:, None, None] * a[:, None, :]
+    dd = jnp.linalg.norm(delta, axis=-1)
+    qual = (
+        cand_valid
+        & (h_c < margin[:, None])
+        & (dd >= dedupe_r[:, None])
     )
-    pos_v = jnp.stack([w0, w1, w2, w3], axis=1)
-    pos = pos_v - n[:, None, :] * (0.5 * jnp.stack([d0, d1, d2, d3], axis=1))[:, :, None]
-    frame = jnp.broadcast_to(make_frame(n)[:, None], (k, 4, 3, 3))
-    return dist, pos, frame
+    rank = jnp.cumsum(qual.astype(jnp.int32), axis=1) * qual
+
+    def pick(r):
+        oh = (rank == r).astype(dtype)  # (P, C)
+        has = jnp.sum(oh, axis=1) > 0
+        d = jnp.sum(h_c * oh, axis=1)
+        v = jnp.sum(v_c * oh[:, :, None], axis=1)
+        return jnp.where(has, d, big), v
+
+    d1, v1 = pick(1)
+    d2, v2 = pick(2)
+    dist = jnp.stack([d0, d1, d2], axis=1)  # (P, 3)
+    vsel = jnp.stack([v0, v1, v2], axis=1)  # (P, 3, 3)
+    return dist, vsel, d0 - margin
 
 
 # --------------------------------------------------------------------------
@@ -739,7 +693,8 @@ _NARROW = {
     (_PLANE, _CAPSULE): plane_capsule,
     (_PLANE, _CYLINDER): plane_cylinder,
     (_PLANE, _BOX): plane_box,
-    (_PLANE, _MESH): plane_convex,
+    # plane-mesh runs through _plane_mesh_group (exact mjc_PlaneConvex
+    # replication over static hull tables), never this generic table
     (_SPHERE, _SPHERE): sphere_sphere,
     (_SPHERE, _CAPSULE): sphere_capsule,
     (_SPHERE, _BOX): sphere_box,

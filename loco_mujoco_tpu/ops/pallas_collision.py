@@ -32,6 +32,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1e10
 
+# tests set this to run the kernels in interpret mode on CPU (parity vs
+# the XLA narrowphase without TPU hardware)
+_INTERPRET = False
+
 
 def pallas_enabled() -> bool:
     if os.environ.get("LMT_PALLAS", "1") == "0":
@@ -56,122 +60,128 @@ _PB = 16  # pairs per program: amortizes program-launch overhead (a
 # actual V x BE selection math)
 
 
-def _kernel(verts_ref, a_ref, b_ref, marg_ref, dist_ref, vsel_ref):
-    """One (pair-block, env-block) program: full manifold selection for
-    _PB pairs in VMEM."""
-    f32 = jnp.float32
-    PB = verts_ref.shape[0]
-    V = verts_ref.shape[2]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0).astype(f32)
+def _make_kernel(D):
+    """Kernel factory for one bucket, D = padded neighbor-list width.
 
-    for p in range(PB):
-        vx = verts_ref[p, 0, :][:, None]  # (V, 1)
-        vy = verts_ref[p, 1, :][:, None]
-        vz = verts_ref[p, 2, :][:, None]
-        a0 = a_ref[p, 0, :][None, :]  # (1, BE)
-        a1 = a_ref[p, 1, :][None, :]
-        a2 = a_ref[p, 2, :][None, :]
-        b = b_ref[p, 0, :][None, :]
-        margin = marg_ref[p, 0, 0]
+    Selection semantics replicate libmujoco 3.10's mjc_PlaneConvex exactly
+    (see collision._plane_mesh_narrow): support vertex (argmin of height,
+    first index wins ties), then the first two of its hull-graph neighbors
+    — in stored edge order — with height < margin and distance to contact
+    0 >= the dedupe radius. The per-pair static table packs, per row over
+    the V axis: [vx, vy, vz, nbr_id(D), nbrx(D), nbry(D), nbrz(D)], so the
+    entire per-env candidate gather is ONE (3+4D, V) x (V, BE) matmul on
+    the MXU against the support one-hot."""
 
-        h = vx * a0 + vy * a1 + vz * a2 + b  # (V, BE)
+    def kernel(tbl_ref, a_ref, b_ref, marg_ref, dist_ref, vsel_ref):
+        f32 = jnp.float32
+        PB = tbl_ref.shape[0]
+        V = tbl_ref.shape[2]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0).astype(f32)
 
-        def amin(x):
-            m = jnp.min(x, axis=0, keepdims=True)
-            i = jnp.min(
-                jnp.where(x == m, iota, float(V)), axis=0, keepdims=True
+        for p in range(PB):
+            tbl = tbl_ref[p]  # (3+4D, V)
+            vx = tbl[0, :][:, None]  # (V, 1)
+            vy = tbl[1, :][:, None]
+            vz = tbl[2, :][:, None]
+            a0 = a_ref[p, 0, :][None, :]  # (1, BE)
+            a1 = a_ref[p, 1, :][None, :]
+            a2 = a_ref[p, 2, :][None, :]
+            b = b_ref[p, 0, :][None, :]
+            margin = marg_ref[p, 0, 0]
+            dedupe2 = marg_ref[p, 1, 0]  # squared dedupe radius
+
+            h = vx * a0 + vy * a1 + vz * a2 + b  # (V, BE)
+
+            d0 = jnp.min(h, axis=0, keepdims=True)
+            i0 = jnp.min(
+                jnp.where(h == d0, iota, float(V)), axis=0, keepdims=True
             )
-            return m, i
+            oh0 = (iota == i0).astype(f32)  # (V, BE)
 
-        def amax(x):
-            m = jnp.max(x, axis=0, keepdims=True)
-            i = jnp.min(
-                jnp.where(x == m, iota, float(V)), axis=0, keepdims=True
-            )
-            return m, i
+            # one MXU matmul gathers v0 coords, neighbor ids and neighbor
+            # coords for the support vertex of every env in the block
+            q = jax.lax.dot_general(
+                tbl, oh0, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (3+4D, BE)
+            v0x, v0y, v0z = q[0][None], q[1][None], q[2][None]
+            ids = q[3 : 3 + D]           # (D, BE)
+            cx = q[3 + D : 3 + 2 * D]
+            cy = q[3 + 2 * D : 3 + 3 * D]
+            cz = q[3 + 3 * D : 3 + 4 * D]
 
-        def take(i):
-            oh = (iota == i).astype(f32)  # (V, BE)
-            return (
-                jnp.sum(vx * oh, axis=0, keepdims=True),
-                jnp.sum(vy * oh, axis=0, keepdims=True),
-                jnp.sum(vz * oh, axis=0, keepdims=True),
-                jnp.sum(h * oh, axis=0, keepdims=True),
-            )
+            hc = cx * a0 + cy * a1 + cz * a2 + b  # (D, BE)
+            ex = cx - v0x + 0.5 * d0 * a0
+            ey = cy - v0y + 0.5 * d0 * a1
+            ez = cz - v0z + 0.5 * d0 * a2
+            dist2 = ex * ex + ey * ey + ez * ez
+            qual = (ids > -0.5) & (hc < margin) & (dist2 >= dedupe2)
+            qf = qual.astype(f32)
 
-        d0, i0 = amin(h)
-        v0x, v0y, v0z, _ = take(i0)
+            big = jnp.full_like(d0, _BIG)
+            zero = jnp.zeros_like(d0)
+            cnt = zero
+            d1 = d2 = big
+            v1x = v1y = v1z = v2x = v2y = v2z = zero
+            for dc in range(D):
+                qd = qf[dc][None]  # (1, BE)
+                t1 = qd * (cnt == 0.0).astype(f32)
+                t2 = qd * (cnt == 1.0).astype(f32)
+                d1 = d1 + t1 * (hc[dc][None] - d1)
+                v1x = v1x + t1 * (cx[dc][None] - v1x)
+                v1y = v1y + t1 * (cy[dc][None] - v1y)
+                v1z = v1z + t1 * (cz[dc][None] - v1z)
+                d2 = d2 + t2 * (hc[dc][None] - d2)
+                v2x = v2x + t2 * (cx[dc][None] - v2x)
+                v2y = v2y + t2 * (cy[dc][None] - v2y)
+                v2z = v2z + t2 * (cz[dc][None] - v2z)
+                cnt = cnt + qd
 
-        cand = h < margin
-        dvx, dvy, dvz = vx - v0x, vy - v0y, vz - v0z
-        dh = h - d0
-        dist2 = jnp.where(
-            cand, dvx * dvx + dvy * dvy + dvz * dvz - dh * dh, -_BIG
-        )
-        far2, i1 = amax(dist2)
-        v1x, v1y, v1z, d1 = take(i1)
-        has1 = far2 > 1e-12
+            dist_ref[p, 0, :] = d0[0]
+            dist_ref[p, 1, :] = d1[0]
+            dist_ref[p, 2, :] = d2[0]
+            # selected vertex coordinates (mesh-local), slot-major: avoids
+            # a per-env take_along_axis gather on the XLA side (which
+            # lowered to layout-copy storms costing more than this kernel)
+            vsel_ref[p, 0, :] = q[0]
+            vsel_ref[p, 1, :] = q[1]
+            vsel_ref[p, 2, :] = q[2]
+            vsel_ref[p, 3, :] = v1x[0]
+            vsel_ref[p, 4, :] = v1y[0]
+            vsel_ref[p, 5, :] = v1z[0]
+            vsel_ref[p, 6, :] = v2x[0]
+            vsel_ref[p, 7, :] = v2y[0]
+            vsel_ref[p, 8, :] = v2z[0]
 
-        ux, uy, uz = v1x - v0x, v1y - v0y, v1z - v0z
-        un = jnp.maximum(jnp.sqrt(ux * ux + uy * uy + uz * uz), 1e-15)
-        ux, uy, uz = ux / un, uy / un, uz / un
-        # cr = a . ((v - v0) x u): side extent about the 0-1 line
-        cx = dvy * uz - dvz * uy
-        cy = dvz * ux - dvx * uz
-        cz = dvx * uy - dvy * ux
-        cr = jnp.where(cand, a0 * cx + a1 * cy + a2 * cz, 0.0)
-        c2, i2 = amax(cr)
-        v2x, v2y, v2z, d2 = take(i2)
-        has2 = has1 & (c2 > 1e-10)
-        c3, i3 = amin(cr)
-        v3x, v3y, v3z, d3 = take(i3)
-        has3 = has1 & (c3 < -1e-10)
-
-        big = jnp.full_like(d0, _BIG)
-        dist_ref[p, 0, :] = d0[0]
-        dist_ref[p, 1, :] = jnp.where(has1, d1, big)[0]
-        dist_ref[p, 2, :] = jnp.where(has2, d2, big)[0]
-        dist_ref[p, 3, :] = jnp.where(has3, d3, big)[0]
-        # selected vertex coordinates (mesh-local), slot-major: avoids a
-        # per-env take_along_axis gather on the XLA side (which lowered to
-        # layout-copy storms costing more than this whole kernel)
-        vsel_ref[p, 0, :] = v0x[0]
-        vsel_ref[p, 1, :] = v0y[0]
-        vsel_ref[p, 2, :] = v0z[0]
-        vsel_ref[p, 3, :] = v1x[0]
-        vsel_ref[p, 4, :] = v1y[0]
-        vsel_ref[p, 5, :] = v1z[0]
-        vsel_ref[p, 6, :] = v2x[0]
-        vsel_ref[p, 7, :] = v2y[0]
-        vsel_ref[p, 8, :] = v2z[0]
-        vsel_ref[p, 9, :] = v3x[0]
-        vsel_ref[p, 10, :] = v3y[0]
-        vsel_ref[p, 11, :] = v3z[0]
+    return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _select_batched(verts, a, b, margin_tuple):
-    """(P,3,V) static verts, (E,P,3) a, (E,P) b -> dist4 (E,P,4), vsel."""
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _select_batched(tbl_tuple, a, b, marg, D):
+    """Static table bucket, (E,P,3) a, (E,P) b -> dist (E,P,3), vsel."""
     E = b.shape[0]
-    dist, vsel = _select_batched_raw(verts, a, b, margin_tuple)
+    dist, vsel = _select_batched_raw(tbl_tuple, a, b, marg, D)
     from . import pallas_layout as play
 
-    dist = play.moveaxis_last0(dist[:, :, :E])  # (E, P, 4)
-    vsel = play.moveaxis_last0(vsel[:, :, :E]).reshape(E, -1, 4, 3)
+    dist = play.moveaxis_last0(dist[:, :, :E])  # (E, P, 3)
+    vsel = play.moveaxis_last0(vsel[:, :, :E]).reshape(E, -1, 3, 3)
     return dist, vsel
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def _select_batched_raw(verts, a, b, margin_tuple):
-    """Like _select_batched but returns env-LAST (P, 4, Ep), (P, 12, Ep) —
-    feeding downstream kernels without the relayout."""
-    E, P = b.shape
-    V = verts.shape[2]
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
+    """Env-LAST variant: returns (P, 3, Ep), (P, 9, Ep) — feeding
+    downstream kernels without the relayout. tbl_tuple is the hashable
+    ((P, 3+4D, V) table bytes, shape); marg_tuple the per-pair
+    (margin, dedupe_r^2) rows."""
+    tbl = np.frombuffer(tbl_tuple[0], np.float32).reshape(tbl_tuple[1])
+    P, R, V = tbl.shape
+    E = b.shape[0]
     BE = 256
     # pairs per program scale inversely with hull size: the unrolled
     # per-pair loop stack-allocates its (V, BE) maps, and a 3200-vertex
     # hull at 16 pairs/program blows the 16 MB VMEM limit (observed on G1)
-    PB = max(1, min(_PB, P, int(4_000_000 // (V * BE * 4))))
+    PB = max(1, min(_PB, P, int(4_000_000 // ((R + 3 * BE) * V * 4 // 3))))
     Pp = ((P + PB - 1) // PB) * PB
     Ep = ((E + BE - 1) // BE) * BE
     at = jnp.moveaxis(a, 0, -1)  # (P, 3, E)
@@ -179,81 +189,120 @@ def _select_batched_raw(verts, a, b, margin_tuple):
     if Ep != E or Pp != P:
         at = jnp.pad(at, ((0, Pp - P), (0, 0), (0, Ep - E)))
         bt = jnp.pad(bt, ((0, Pp - P), (0, 0), (0, Ep - E)))
-    marg = np.zeros((Pp, 1, 1), np.float32)
-    marg[:P, 0, 0] = np.asarray(margin_tuple, np.float32)
+    marg = np.zeros((Pp, 2, 1), np.float32)
+    marg[:P] = np.asarray(marg_tuple, np.float32).reshape(P, 2, 1)
     marg = jnp.asarray(marg)
     if Pp != P:
-        verts = jnp.concatenate(
-            [verts, jnp.broadcast_to(verts[:1], (Pp - P, 3, V))]
+        tbl = np.concatenate(
+            [tbl, np.broadcast_to(tbl[:1], (Pp - P, R, V))]
         )
+    tbl = jnp.asarray(tbl)
 
     grid = (Pp // PB, Ep // BE)
     dist, vsel = pl.pallas_call(
-        _kernel,
+        _make_kernel(D),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((PB, 3, V), lambda p, e: (p, 0, 0),
+            pl.BlockSpec((PB, R, V), lambda p, e: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 3, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 1, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 1, 1), lambda p, e: (p, 0, 0),
+            pl.BlockSpec((PB, 2, 1), lambda p, e: (p, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
-            pl.BlockSpec((PB, 4, BE), lambda p, e: (p, 0, e),
+            pl.BlockSpec((PB, 3, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 12, BE), lambda p, e: (p, 0, e),
+            pl.BlockSpec((PB, 9, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Pp, 4, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((Pp, 12, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 3, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((Pp, 9, Ep), jnp.float32),
         ],
-    )(verts, at, bt, marg)
+        interpret=_INTERPRET,
+    )(tbl, at, bt, marg)
     return dist[:P], vsel[:P]
 
 
-def make_plane_mesh_select(
-    verts: np.ndarray, margin: np.ndarray, counts: np.ndarray = None
-):
-    """Factory: selection fn over static (P, V, 3) verts (already padded
-    with vertex-0 duplicates). Returns fn(a (P,3), b (P,)) -> (dist (P,4),
-    idx (P,4)) that dispatches to the fused kernel under vmap.
-
-    Pairs are bucketed by true hull size (`counts`): the vertex table is
-    padded to the LARGEST hull (544 for the humanoid, mean hull 81), so a
-    single-bucket kernel would scan ~6.7x more vertices than exist."""
-    P, V, _ = verts.shape
-    if counts is None:
-        counts = np.full(P, V, dtype=np.int64)
+def pack_plane_mesh_buckets(model, pid, vcap):
+    """Shared static packing for the plane-mesh kernels: bucket the pairs
+    by hull size and build each bucket's (Pb, 3+4D, V) table
+    [vx, vy, vz, nbr_id(D), nbrx(D), nbry(D), nbrz(D)] plus per-pair
+    (margin, dedupe_r^2). Returns (subs, border) with subs entries
+    (ids, tbl_tuple, marg_tuple, D) in bucket-major order, or None when a
+    pair's mesh is graph-less (brute scan keeps the XLA path) or a hull is
+    too large for VMEM."""
+    pid = np.asarray(pid)
+    pg2 = model.pair_geom2[pid]
+    mesh_ids = np.maximum(np.asarray(model.geom_meshid)[pg2], 0)
+    if np.asarray(model.mesh_brute)[mesh_ids].any():
+        return None
+    vmask = np.asarray(model.mesh_vertmask)[mesh_ids, :vcap]
+    vraw = np.asarray(model.mesh_vert)[mesh_ids, :vcap]
+    verts = np.where(vmask[:, :, None], vraw, vraw[:, 0:1, :]).astype(
+        np.float32
+    )
+    counts = vmask.sum(axis=1)
+    margin = np.asarray(model.pair_margin)[pid].astype(np.float32)
+    dedupe = 0.3 * np.asarray(model.geom_rbound)[pg2].astype(np.float32)
 
     def bucket_size(c):
         c = max(int(c), 8)
         s = 32
         while s < c:
             s += 32
-        return min(s, ((V + 7) // 8) * 8)
+        return min(s, ((vcap + 7) // 8) * 8)
 
     buckets: dict = {}
-    for p in range(P):
+    for p in range(len(pid)):
         buckets.setdefault(bucket_size(counts[p]), []).append(p)
+    if max(buckets) > 896:
+        return None  # oversized hull: VMEM (G1 pelvis) — XLA path
 
-    subs = []
-    order = []
+    subs, order = [], []
     for vb, ids in sorted(buckets.items()):
         ids = np.asarray(ids)
-        vt = np.zeros((len(ids), 3, vb), np.float32)
-        src = np.moveaxis(verts[ids], -1, 1)  # (Pb, 3, V)
-        vt[:, :, : min(vb, V)] = src[:, :, :vb]
-        if vb > V:
-            vt[:, :, V:] = vt[:, :, 0:1]
-        # rows beyond each hull's count are vertex-0 duplicates already
-        subs.append((ids, vt, tuple(float(m) for m in margin[ids])))
+        tabs = [model.mesh_nbr[mesh_ids[p]] for p in ids]
+        D = max(1, max(t.shape[1] for t in tabs))
+        tbl = np.zeros((len(ids), 3 + 4 * D, vb), np.float32)
+        for i, p in enumerate(ids):
+            nv = int(counts[p])
+            v = verts[p, : min(nv, vb)]
+            tbl[i, 0:3, : v.shape[0]] = v.T
+            if vb > nv:  # pad with vertex-0 duplicates (tie-safe)
+                tbl[i, 0:3, nv:] = tbl[i, 0:3, 0:1]
+            t = tabs[i][:vb]
+            nbr = np.full((vb, D), -1, np.int32)
+            nbr[: t.shape[0], : t.shape[1]] = t
+            valid = nbr >= 0
+            j = np.maximum(nbr, 0)
+            coords = verts[p][j]  # (vb, D, 3)
+            tbl[i, 3 : 3 + D] = np.where(valid, nbr, -1).T
+            tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 0].T
+            tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 1].T
+            tbl[i, 3 + 3 * D : 3 + 4 * D] = coords[:, :, 2].T
+        marg = np.stack(
+            [margin[ids], (dedupe[ids] ** 2).astype(np.float32)], axis=1
+        )
+        subs.append((
+            ids,
+            (tbl.tobytes(), tbl.shape),
+            tuple(map(tuple, marg.tolist())),
+            int(D),
+        ))
         order.append(ids)
-    perm = np.concatenate(order)
-    inv = np.argsort(perm)
+    border = np.concatenate(order)
+    return subs, border
+
+
+def make_plane_mesh_select(subs, inv):
+    """Factory: selection fn over pre-packed static bucket tables
+    (pack_plane_mesh_buckets). Returns fn(a (P,3), b (P,)) ->
+    (dist (P,3), vsel (P,3,3)) that dispatches to the fused kernel under
+    vmap; `inv` maps bucket-major results back to original pair order."""
 
     @jax.custom_batching.custom_vmap
     def select(a, b):
@@ -262,8 +311,8 @@ def make_plane_mesh_select(
 
     def _select_buckets(a, b):
         douts, souts = [], []
-        for ids, vt, marg in subs:
-            d, s = _select_batched(vt, a[:, ids], b[:, ids], marg)
+        for ids, tbl_t, marg, D in subs:
+            d, s = _select_batched(tbl_t, a[:, ids], b[:, ids], marg, D)
             douts.append(d)
             souts.append(s)
         dist = jnp.concatenate(douts, axis=1)[:, inv]
@@ -292,8 +341,8 @@ def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
     def kernel(dist_ref, vsel_ref, gxp_ref, gxm_ref, tbl_ref,
                ds_ref, pos_ref, fr_ref, meta_ref):
         f32 = jnp.float32
-        dist = dist_ref[...]   # (P, 4, BE)
-        vsel = vsel_ref[...]   # (P, 12, BE)  (4 verts x xyz, mesh-local)
+        dist = dist_ref[...]   # (P, 3, BE)
+        vsel = vsel_ref[...]   # (P, 9, BE)  (3 verts x xyz, mesh-local)
         tbl = tbl_ref[...]     # (P, 16, 1) static per-pair values
 
         # per-pair plane normal / mesh pose via static geom indices
@@ -317,8 +366,8 @@ def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
             key = jnp.where(oh > 0, _BIG, key)
 
             ohe = oh[:, None, :]
-            dsel = jnp.sum(ohe * dist, axis=0)        # (4, BE)
-            vs = jnp.sum(ohe * vsel, axis=0)          # (12, BE)
+            dsel = jnp.sum(ohe * dist, axis=0)        # (3, BE)
+            vs = jnp.sum(ohe * vsel, axis=0)          # (9, BE)
             n = jnp.sum(ohe * n_all, axis=0)          # (3, BE)
             qp = jnp.sum(ohe * qp_all, axis=0)        # (3, BE)
             qR = jnp.sum(ohe * qR_all, axis=0)        # (9, BE)
@@ -326,7 +375,7 @@ def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
 
             # world positions: w = qp + R v; pos = w - n * dist/2
             pos_f = []
-            for f in range(4):
+            for f in range(3):
                 d2 = 0.5 * dsel[f]
                 for i3 in range(3):
                     w = (
@@ -377,7 +426,7 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
     pg1/pg2: per-pair geom ids in bucket order; tbl (P, 16) static
     [key_margin, g1, g2, friction(5), solref(2), solimp(5), margin-gap];
     k: slots. Returns fn(a (P,3), b (P,), gxp (ngeom,3), gxm (ngeom,3,3))
-    -> (dist (k,4), pos (k,4,3), frame (k,3,3), meta (k,15)), batched via
+    -> (dist (k,3), pos (k,3,3), frame (k,3,3), meta (k,15)), batched via
     custom_vmap. `a`/`b`/tbl rows are in ORIGINAL pair order."""
     del inv  # tables are pre-reordered to bucket order by the caller
     P = len(pg1)
@@ -398,14 +447,15 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
         Ep = ((E + BE - 1) // BE) * BE
         douts, souts = [], []
         off = 0
-        for ids, vt, marg in subs:
+        for ids, tbl_t, marg, D in subs:
             d, s = _select_batched_raw(
-                vt, a[:, off:off + len(ids)], b[:, off:off + len(ids)], marg
+                tbl_t, a[:, off:off + len(ids)],
+                b[:, off:off + len(ids)], marg, D,
             )
             douts.append(d)
             souts.append(s)
             off += len(ids)
-        dist = jnp.concatenate(douts, axis=0)  # (P, 4, Ep')
+        dist = jnp.concatenate(douts, axis=0)  # (P, 3, Ep')
         vsel = jnp.concatenate(souts, axis=0)
         if dist.shape[-1] != Ep:
             dist = dist[..., :Ep]
@@ -431,15 +481,16 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
         ds, pos, fr, meta = pl.pallas_call(
             kernel,
             grid=(Ep // BE,),
+            interpret=_INTERPRET,
             in_specs=[
-                gs(P, 4), gs(P, 12), gs(nused, 3), gs(nused, 9),
+                gs(P, 3), gs(P, 9), gs(nused, 3), gs(nused, 9),
                 pl.BlockSpec((P, 16, 1), lambda e: (0, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=[gs(k, 4), gs(k, 12), gs(k, 9), gs(k, 15)],
+            out_specs=[gs(k, 3), gs(k, 9), gs(k, 9), gs(k, 15)],
             out_shape=[
-                jax.ShapeDtypeStruct((k, 4, Ep), jnp.float32),
-                jax.ShapeDtypeStruct((k, 12, Ep), jnp.float32),
+                jax.ShapeDtypeStruct((k, 3, Ep), jnp.float32),
+                jax.ShapeDtypeStruct((k, 9, Ep), jnp.float32),
                 jax.ShapeDtypeStruct((k, 9, Ep), jnp.float32),
                 jax.ShapeDtypeStruct((k, 15, Ep), jnp.float32),
             ],
@@ -447,7 +498,7 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
         back = lambda x: play.moveaxis_last0(x[..., :E])
         return (
             back(ds),
-            back(pos).reshape(E, k, 4, 3),
+            back(pos).reshape(E, k, 3, 3),
             back(fr).reshape(E, k, 3, 3),
             back(meta),
         )
