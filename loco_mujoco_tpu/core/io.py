@@ -446,7 +446,7 @@ def put_model(m: mujoco.MjModel, dtype=jnp.float32, contact_k_plane=8,
         tendon_limited=np.asarray(m.tendon_limited),
         tendon_stiffness=np.asarray(m.tendon_stiffness),
         tendon_damping=np.asarray(m.tendon_damping),
-        tendon_lengthspring=np.asarray(m.tendon_lengthspring),
+        tendon_lengthspring=jarr(m.tendon_lengthspring),
         tendon_solref_lim=np.asarray(m.tendon_solref_lim),
         tendon_solimp_lim=np.asarray(m.tendon_solimp_lim),
         tendon_margin=np.asarray(m.tendon_margin),

@@ -57,16 +57,9 @@ class _HashableStatic:
         if len(self.values) != len(other.values):
             return False
         for a, b in zip(self.values, other.values):
-            if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
-                if not (
-                    isinstance(a, np.ndarray)
-                    and isinstance(b, np.ndarray)
-                    and a.shape == b.shape
-                    and a.dtype == b.dtype
-                    and np.array_equal(a, b)
-                ):
-                    return False
-            elif a != b:
+            # arrays may hide inside tuples/dicts (e.g. Model.mesh_nbr);
+            # _hashable canonicalizes every container to plain hashables
+            if _hashable(a) != _hashable(b):
                 return False
         return True
 

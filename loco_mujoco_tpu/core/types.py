@@ -237,7 +237,9 @@ class Model:
     tendon_limited: np.ndarray = static_field(default=None)  # (ntendon,)
     tendon_stiffness: np.ndarray = static_field(default=None)
     tendon_damping: np.ndarray = static_field(default=None)
-    tendon_lengthspring: np.ndarray = static_field(default=None)  # (ntendon, 2)
+    # spring deadband — a numeric LEAF: compile derives it from qpos0
+    # geometry, so it differs across 4-ages scaling variants
+    tendon_lengthspring: jax.Array = None  # (ntendon, 2)
     tendon_solref_lim: np.ndarray = static_field(default=None)  # (ntendon, 2)
     tendon_solimp_lim: np.ndarray = static_field(default=None)  # (ntendon, 5)
     tendon_margin: np.ndarray = static_field(default=None)  # (ntendon,)

@@ -22,9 +22,16 @@ from ..registry import make as _make
 class GymnasiumWrapper(gymnasium.Env):
     metadata = {"render_modes": ["human", "rgb_array"]}
 
-    def __init__(self, env_name: str, render_mode: str | None = None, **kwargs):
+    def __init__(self, env_name: str | None = None,
+                 render_mode: str | None = None, _prebuilt_env=None, **kwargs):
         self.render_mode = render_mode
-        self._env = _make(env_name, **kwargs)
+        # _prebuilt_env: wrap an already-constructed env (the acceptance
+        # harness uses this to prove wrapper transparency on the exact
+        # env instance it verified against the oracle)
+        self._env = (
+            _prebuilt_env if _prebuilt_env is not None
+            else _make(env_name, **kwargs)
+        )
         self._reset_fn = jax.jit(self._env.reset)
         self._step_fn = jax.jit(self._env.step)
         self._state = None

@@ -60,8 +60,14 @@ def _obs_spec(joints):
 
 
 def _surgery(xml_path, use_box_feet, disable_arms, alpha_box_feet=0.5,
-             scaling=1.0):
-    """XML modifications (base_humanoid.py:86-127, 435-496) via MjSpec."""
+             scaling=1.0, spec_edit=None):
+    """XML modifications (base_humanoid.py:86-127, 435-496) via MjSpec.
+
+    spec_edit: optional callback applied to the MjSpec right before
+    compile — used by the 4-ages envs to apply the body-scaling law at
+    the SPEC level so every compile-derived quantity (qhull hulls,
+    geom_rbound/aabb, body BVH, invweight0) stays self-consistent, like
+    the reference's XML-surgery + recompile pipeline."""
     spec = mujoco.MjSpec.from_file(str(xml_path))
     joints_rm, motors_rm, eq_rm = [], [], []
     if use_box_feet:
@@ -125,6 +131,8 @@ def _surgery(xml_path, use_box_feet, disable_arms, alpha_box_feet=0.5,
             if b is not None:
                 b.quat = quat
 
+    if spec_edit is not None:
+        spec_edit(spec)
     return spec.compile(), joints_rm, motors_rm
 
 

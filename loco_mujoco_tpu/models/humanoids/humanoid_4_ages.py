@@ -8,9 +8,9 @@ kept), body pos x s, mass x s^3, diagonal inertia x s^5, motor gear x s^2
 
 TPU-native multi-model design: the 4 scaled models share one structure and
 become stacked numeric leaves selected per env by env_id at reset (see
-envs/base.py model variants); the scaling is applied to the COMPILED model's
-numeric fields followed by mj_setConst to refresh derived constants — the
-same end state the reference reaches through per-scaling XML surgery.
+envs/base.py model variants); the scaling is applied to the MjSpec before
+compile (_scale_spec) — the same pipeline the reference reaches through
+per-scaling XML surgery, keeping all compile-derived constants consistent.
 
 Observation: binary env-id bits appended (:256-277); reward:
 multi_target_velocity with per-scaling target (:279-302); resets sample
@@ -34,54 +34,57 @@ DEFAULT_SCALINGS = [0.4, 0.6, 0.8, 1.0]
 HEAD_MESHES = {"hat_skull", "hat_jaw", "hat_ribs_cap"}
 
 
-def _scale_compiled(m: mujoco.MjModel, s: float, use_muscles: bool,
-                    use_box_feet: bool):
-    """Apply the 4-ages scaling law to a compiled MjModel in place, then
-    recompute derived constants (mj_setConst)."""
-    # mesh vertices (head meshes kept at adult size)
-    for mid in range(m.nmesh):
-        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_MESH, mid)
-        if name in HEAD_MESHES:
+def _scale_spec(spec: mujoco.MjSpec, s: float, use_muscles: bool):
+    """Apply the 4-ages body-scaling law to the MjSpec BEFORE compile
+    (reference scale_body, base_humanoid_4_ages.py:304-359): mesh scale
+    x s (head meshes kept adult-size, head geoms repositioned), body pos
+    x s, mass x s^3, fullinertia x s^5, muscle force x s^2 + lengthrange
+    x s + site pos x s (muscle model), motor gear x s^2 (torque model).
+
+    Scaling the spec — not the compiled model — keeps every
+    compile-derived quantity consistent (qhull hulls, geom_rbound,
+    geom_aabb, the per-body BVH MuJoCo 3.x midphase culls with,
+    invweight0): patching mesh_vert on a compiled model leaves a stale
+    BVH that culls real contacts (observed: the 0.4-scaling child's
+    skull penetrating the floor was dropped by mj_collision while
+    mj_geomDistance reported -5.5mm). Hull topology is identical across
+    scalings (mesh_graph is scale-invariant, verified for all 4), so
+    variant leaf stacking needs no coordination."""
+    for mesh in spec.meshes:
+        if mesh.name not in HEAD_MESHES:
+            mesh.scale = np.asarray(mesh.scale) * s
+    for g in spec.geoms:
+        if g.name in HEAD_MESHES:  # reposition head (ref :326-328)
+            g.pos = [0.0, -0.5 * (1 - s), 0.0]
+    for b in spec.bodies:
+        if b.name == "world":
             continue
-        adr, num = int(m.mesh_vertadr[mid]), int(m.mesh_vertnum[mid])
-        m.mesh_vert[adr : adr + num] *= s
-    # reposition head geoms (base_humanoid_4_ages.py:326-328)
-    for g in range(m.ngeom):
-        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
-        if name in HEAD_MESHES:
-            m.geom_pos[g] = [0.0, -0.5 * (1 - s), 0.0]
-
-    m.body_pos[:] *= s
-    m.body_mass[:] *= s**3
-    m.body_inertia[:] *= s**5
-
+        b.pos = np.asarray(b.pos) * s
+        b.mass = b.mass * s**3
+        fi = np.asarray(b.fullinertia)
+        assert np.all(fi[3:] == 0.0), (
+            "off-diagonal inertia nonzero; 4-ages s^5 diagonal scaling "
+            "invalid (reference scale_body assert)"
+        )
+        b.fullinertia = fi * s**5
     if use_muscles:
-        m.site_pos[:] *= s
-        for u in range(m.nu):
-            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_ACTUATOR, u)
-            if name and "mot" in name:
+        for site in spec.sites:
+            site.pos = np.asarray(site.pos) * s
+        for a in spec.actuators:
+            if "mot" in a.name:
                 continue  # arm torque motors keep their gear
-            if m.actuator_gainprm[u, 2] > 0:
-                m.actuator_gainprm[u, 2] *= s**2
-            if m.actuator_biasprm[u, 2] > 0:
-                m.actuator_biasprm[u, 2] *= s**2
-            m.actuator_lengthrange[u] *= s
+            gp = np.asarray(a.gainprm).copy()
+            bp = np.asarray(a.biasprm).copy()
+            if gp[2] > 0:  # muscle peak force (gainprm/biasprm slot 2)
+                gp[2] *= s**2
+            if bp[2] > 0:
+                bp[2] *= s**2
+            a.gainprm = gp
+            a.biasprm = bp
+            a.lengthrange = np.asarray(a.lengthrange) * s
     else:
-        m.actuator_gear[:] *= s**2
-
-    if use_box_feet:
-        # the reference adds the boxes already scaled
-        # (base_humanoid_4_ages.py:94); scaling size+pos of the added geoms
-        # on the compiled model is equivalent (toes carry explicit inertials)
-        for g in range(m.ngeom):
-            name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g)
-            if name in ("foot_box_l", "foot_box_r"):
-                m.geom_size[g] *= s
-                m.geom_pos[g] *= s
-
-    d = mujoco.MjData(m)
-    mujoco.mj_setConst(m, d)
-    return m
+        for a in spec.actuators:
+            a.gear = np.asarray(a.gear) * s**2
 
 
 class BaseHumanoid4Ages(BaseHumanoid):
@@ -119,14 +122,15 @@ class BaseHumanoid4Ages(BaseHumanoid):
         joints_rm = None
         for s in scalings:
             mj_model, j_rm, _ = _surgery(
-                xml, use_box_feet, disable_arms, alpha_box_feet
+                xml, use_box_feet, disable_arms, alpha_box_feet,
+                scaling=s,
+                spec_edit=lambda sp, _s=s: _scale_spec(sp, _s, use_muscles),
             )
-            _scale_compiled(mj_model, s, use_muscles, use_box_feet)
             mj_models.append(mj_model)
-            # hull topology is shared across scalings automatically: each
-            # variant compiles from the same XML, so MuJoCo's mesh graph
-            # (which put_model's hull tables come from) is identical, and
-            # _scale_compiled only rescales the vertex coordinates
+            # hull topology is shared across scalings automatically:
+            # MuJoCo's mesh graph is scale-invariant, so put_model's
+            # static hull tables agree across variants and the numeric
+            # leaves stack
             models.append(put_model(mj_model, dtype=dtype))
             joints_rm = j_rm
 

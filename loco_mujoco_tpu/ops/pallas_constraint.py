@@ -462,7 +462,8 @@ def _kbi_dyn(plan, sr, si, pos):
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
-def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
+def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
+                       scale=None, tolerance=None):
     nv, ncon = plan.nv, plan.ncon
     ne, nfl, nl = plan.ne, plan.nfl, plan.nl
 
@@ -865,7 +866,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
             J, M, aref, D, R, floss_fl, act, asm, ws,
             nv, iterations, ls_iterations, plan.ne, plan.nfl,
             ell_runs=plan.ell_runs if plan.elliptic else (),
-            ell_mu=mu_all,
+            ell_mu=mu_all, scale=scale, tolerance=tolerance,
         )
 
         x_ref[...] = x
@@ -878,7 +879,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations):
     return kernel
 
 
-def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
+def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
+                   tolerance, qpos, qvel,
                    cdof, com, cinert, qfs, ws, arm, cargs):
     """Batched entry: env-major inputs, env-last kernel. cargs is the
     (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
@@ -927,7 +929,8 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
                          memory_space=pltpu.VMEM)
         )
 
-    kernel = _make_fused_kernel(plan, iterations, ls_iterations)
+    kernel = _make_fused_kernel(plan, iterations, ls_iterations,
+                                scale=scale, tolerance=tolerance)
     row_spec = pl.BlockSpec((plan.nrows, _BE), lambda e: (0, e),
                             memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((nv, _BE), lambda e: (0, e),
@@ -952,14 +955,18 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, qpos, qvel,
 _FUSED_CACHE: dict = {}
 
 
-def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int):
-    key = (id(plan), iterations, ls_iterations)
+def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int,
+                     scale=None, tolerance=None):
+    scale = None if scale is None else float(scale)
+    tolerance = None if tolerance is None else float(tolerance)
+    key = (id(plan), iterations, ls_iterations, scale, tolerance)
     hit = _FUSED_CACHE.get(key)
     if hit is not None:
         return hit
 
     def solve_b(*args):
-        return _fused_batched(plan, iterations, ls_iterations,
+        return _fused_batched(plan, iterations, ls_iterations, scale,
+                              tolerance,
                               *args[:8], args[8])
 
     @jax.custom_batching.custom_vmap
@@ -998,7 +1005,9 @@ def fused_constraint(model: Model, data, plan: RowPlan):
     """Drop-in for make_constraint + solver.solve on supported models.
     Returns updated Data (qacc, qfrc_constraint, efc_force_contact)."""
     solver_fn = get_fused_solver(
-        plan, model.opt.iterations, model.opt.ls_iterations
+        plan, model.opt.iterations, model.opt.ls_iterations,
+        scale=model.stat_meaninertia * max(1, model.nv),
+        tolerance=max(model.opt.tolerance, 1e-6),
     )
     con = data.contact
     dtype = data.qpos.dtype

@@ -84,7 +84,7 @@ def chol_solve_spd(M, rhs, nv, jitter=0.0):
 
 def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
                nv, iterations, ls_iterations, ne, nfl,
-               ell_runs=(), ell_mu=None):
+               ell_runs=(), ell_mu=None, scale=None, tolerance=None):
     """The Newton solve on VMEM-resident values, env axis in lanes.
 
     J: indexable as J[k] -> (nrows, BE) (a (nv, nrows, BE) array or a list
@@ -107,7 +107,14 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
     friction coefficient (friction0 / sqrt(impratio)) in run order. The
     cone zone cost/force/Hessian follows solver._quantities /
     _cone_hessian_terms exactly: separating (no force), sticking (full
-    quadratic), sliding (rank-1 Gauss-Newton + tangential curvature)."""
+    quadratic), sliding (rank-1 Gauss-Newton + tangential curvature).
+
+    scale/tolerance: when given, apply MuJoCo's Newton termination per env
+    (improvement or scaled gradient below tolerance — engine semantics as
+    in solver.py's convergent path) with masked updates, and exit the
+    Newton loop for the whole block once every env is done. Warm-started
+    steady-state solves converge in 2-4 iterations, so this typically
+    skips half the fixed `iterations` budget."""
     nrows = aref.shape[0]
 
     # -- elliptic preamble: per-run cone-scaled coordinates ----------------
@@ -117,12 +124,12 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         for (s, cnt, d) in ell_runs:
             Db = D[s:s + cnt * d].reshape(cnt, d, -1)
             dn = Db[:, 0]
-            scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], MINVAL))
+            cone_scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], MINVAL))
             mu = ell_mu[off:off + cnt]  # (cnt, BE)
             act_n = act[s:s + cnt * d].reshape(cnt, d, -1)[:, 0]
             dm = dn / (1.0 + mu * mu)
-            ell.append(dict(s=s, cnt=cnt, d=d, Db=Db, scale=scale, mu=mu,
-                            act=act_n, dm=dm))
+            ell.append(dict(s=s, cnt=cnt, d=d, Db=Db, scale=cone_scale,
+                            mu=mu, act=act_n, dm=dm))
             off += cnt
 
     # static row program: ordered (tag, start, end[, run]) segments
@@ -324,7 +331,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
     c_sm = total_cost(asm)
     x = jnp.where(c_ws < c_sm, ws, asm)
 
-    def newton_iter(_, x):
+    def newton_iter_full(x):
         jar = matvec_J(x) - aref
         q = row_quantities(jar, "fw")
         f, w = q["f"], q["w"]
@@ -384,8 +391,9 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         dx = jnp.stack(dxs)  # (nv, BE)
 
         jv = matvec_J(dx)
+        mdx = matvec_M(dx)
         g0 = jnp.sum(dx * mdx0, axis=0, keepdims=True)  # (1, BE)
-        h0 = jnp.sum(dx * matvec_M(dx), axis=0, keepdims=True)
+        h0 = jnp.sum(dx * mdx, axis=0, keepdims=True)
         d0 = g0 - jnp.sum(f * jv, axis=0, keepdims=True)
 
         def phi_prime(a):  # a (1, BE)
@@ -423,13 +431,78 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             (zero, d0, zero, one, zero, one),
         )
         alpha = jnp.where(has_hi > 0, falsi(lo, dlo, hi, dhi), lo)
-        return x + alpha * dx
+        x_new = x + alpha * dx
 
-    x = jax.lax.fori_loop(0, iterations, newton_iter, x)
+        # new cost for the termination test, reusing this iteration's
+        # products: jar_new = jar + alpha jv, M(x_new - asm) = mdx0 + a mdx
+        cost_new = row_quantities(jar + alpha * jv, "c")["c"] + 0.5 * jnp.sum(
+            (x_new - asm) * (mdx0 + alpha * mdx), axis=0, keepdims=True
+        )
+        gradnorm = jnp.sqrt(
+            sum(g * g for g in grad)
+        )[None]  # (1, BE), gradient at iteration start (solver.py:420)
+        return x_new, cost_new, gradnorm
+
+    def newton_iter(_, x):
+        x_new, _, _ = newton_iter_full(x)
+        return x_new
+
+    if scale is None or tolerance is None or iterations <= 1:
+        x = jax.lax.fori_loop(0, iterations, newton_iter, x)
+        return x, force_of(matvec_J(x) - aref)
+
+    # MuJoCo Newton termination per env (solver.py:419-429): take only
+    # improving steps; an env is done when scaled improvement or scaled
+    # gradient drops below tolerance; once every env in the block is done
+    # the remaining fori iterations skip the whole body. State lives in
+    # VMEM scratch refs with `pl.when` predication — carrying the
+    # (nv/1, BE) values through lax.while/lax.cond trips Mosaic's
+    # "Sublane broadcast" layout coercion on the branch-merged carries.
+    inv_scale = 1.0 / float(scale)
+    tol_s = float(tolerance)
+    cost0 = jnp.minimum(c_ws, c_sm)
+    be = x.shape[-1]
+    x_init = x
+
+    def scoped(x_ref2, cost_ref, done_ref):
+        x_ref2[...] = x_init
+        cost_ref[...] = cost0
+        done_ref[...] = jnp.zeros_like(cost0)  # f32 0/1
+
+        def term_iter(_, carry):
+            @pl.when(jnp.min(done_ref[...]) < 0.5)
+            def _body():
+                x_cur = x_ref2[...]
+                cost = cost_ref[...]
+                done = done_ref[...]
+                x_new, cost_new, gradnorm = newton_iter_full(x_cur)
+                improvement = (cost - cost_new) * inv_scale
+                newly = (improvement < tol_s) | (
+                    gradnorm * inv_scale < tol_s
+                )
+                upd = (done < 0.5) & (cost_new < cost)
+                x_ref2[...] = jnp.where(upd, x_new, x_cur)
+                cost_ref[...] = jnp.where(upd, cost_new, cost)
+                done_ref[...] = jnp.maximum(
+                    done, jnp.where(newly, 1.0, 0.0)
+                )
+
+            return carry
+
+        jax.lax.fori_loop(0, iterations, term_iter, 0)
+        return x_ref2[...]
+
+    x = pl.run_scoped(
+        scoped,
+        pltpu.VMEM((nv, be), jnp.float32),
+        pltpu.VMEM((1, be), jnp.float32),
+        pltpu.VMEM((1, be), jnp.float32),
+    )
     return x, force_of(matvec_J(x) - aref)
 
 
-def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl):
+def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
+                 scale=None, tolerance=None):
     def kernel(J_ref, M_ref, aref_ref, D_ref, R_ref, fl_ref, act_ref,
                asm_ref, ws_ref, x_ref, force_ref):
         # J is laid out (nv, nefc, BE): J[k] is a contiguous (nefc, BE) tile,
@@ -440,6 +513,7 @@ def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl):
             fl_ref[...], act_ref[...],
             asm_ref[...], ws_ref[...],
             nv, iterations, ls_iterations, ne, nfl,
+            scale=scale, tolerance=tolerance,
         )
         x_ref[...] = x
         force_ref[...] = force
@@ -449,10 +523,12 @@ def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iterations", "ls_iterations", "ne", "nfl"),
+    static_argnames=("iterations", "ls_iterations", "ne", "nfl",
+                     "scale", "tolerance"),
 )
 def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
-                   iterations, ls_iterations, ne, nfl):
+                   iterations, ls_iterations, ne, nfl,
+                   scale=None, tolerance=None):
     """Batched solve. J (E, nefc, nv), M (E, nv, nv), rows (E, nefc),
     vectors (E, nv) -> qacc (E, nv), force (E, nefc)."""
     E, nefc, nv = J.shape
@@ -477,7 +553,8 @@ def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
     flt = to_env_last(floss_fl.astype(jnp.float32))
     vecs = [to_env_last(v.astype(jnp.float32)) for v in (asm, ws)]
 
-    kernel = _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl)
+    kernel = _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
+                          scale=scale, tolerance=tolerance)
     grid = (Ep // _BE,)
     row_spec = pl.BlockSpec((nefc, _BE), lambda e: (0, e),
                             memory_space=pltpu.VMEM)
@@ -529,7 +606,8 @@ def row_class_counts(is_bilateral, is_fl):
     return ne, nfl
 
 
-def get_solver(efc, iterations: int, ls_iterations: int):
+def get_solver(efc, iterations: int, ls_iterations: int,
+               scale=None, tolerance=None):
     """Factory: a custom-vmap solve fn bound to this model's static row
     classification, or None when the row layout is unsupported (caller
     keeps the XLA path). Call unbatched inside the per-env trace; under
@@ -539,7 +617,9 @@ def get_solver(efc, iterations: int, ls_iterations: int):
         return None
     ne, nfl = counts
     nefc = len(efc.is_fl)
-    key = (nefc, iterations, ls_iterations, ne, nfl)
+    scale = None if scale is None else float(scale)
+    tolerance = None if tolerance is None else float(tolerance)
+    key = (nefc, iterations, ls_iterations, ne, nfl, scale, tolerance)
     hit = _SOLVER_CACHE.get(key)
     if hit is not None:
         return hit
@@ -548,7 +628,7 @@ def get_solver(efc, iterations: int, ls_iterations: int):
         return _solve_batched(
             J, M, aref, D, R, floss, active, asm, ws,
             iterations=iterations, ls_iterations=ls_iterations,
-            ne=ne, nfl=nfl,
+            ne=ne, nfl=nfl, scale=scale, tolerance=tolerance,
         )
 
     @jax.custom_batching.custom_vmap

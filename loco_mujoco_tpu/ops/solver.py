@@ -265,7 +265,8 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
 
         if pallas_newton.pallas_enabled():
             solver_fn = pallas_newton.get_solver(
-                efc, model.opt.iterations, model.opt.ls_iterations
+                efc, model.opt.iterations, model.opt.ls_iterations,
+                scale=scale, tolerance=tol,
             )
             x, force = solver_fn(
                 efc.J, M, aref, efc.D, efc.R, efc.floss,
@@ -336,8 +337,12 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
     if fast_path:
         # Newton's quadratic model says alpha = 1; refine with a few
         # unrolled safeguarded-secant steps on phi' (phi is convex, so any
-        # point with phi' < 0 on [0, a] is a descent point).
-        def iteration_fast(_, x):
+        # point with phi' < 0 on [0, a] is a descent point). Per-env
+        # termination matches the convergent path (and the Pallas
+        # kernels): take only improving steps, freeze the env once scaled
+        # improvement or gradient drops below tolerance.
+        def iteration_fast(_, st):
+            x, cost, done = st
             jar, grad, dx, jv, g0, h0, d0 = newton_direction(x)
             lo = jnp.zeros((), dtype=dtype)
             dlo = d0  # phi'(0) < 0 (descent direction)
@@ -355,10 +360,30 @@ def solve(model: Model, data: Data, efc: Efc | None) -> Data:
                 has_hi = has_hi | ~neg
                 a = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), a * 2.0)
             alpha = jnp.where(has_hi, falsi(lo, dlo, hi, dhi), lo)
-            return x + alpha * dx
+            x_new = x + alpha * dx
+            # incremental cost (jar + alpha jv, M dx reuse) in the same
+            # arithmetic order as the Pallas kernel's termination test, so
+            # the two paths flip `done` at the same iteration
+            q_new, _ = _quantities(model, efc, jar + alpha * jv, dtype)
+            dxs = x - data.qacc_smooth
+            new_cost = q_new.cost + 0.5 * jnp.dot(
+                x_new - data.qacc_smooth,
+                M @ dxs + alpha * (M @ dx),
+            )
+            improvement = (cost - new_cost) / scale
+            gradient = jnp.linalg.norm(grad) / scale
+            newly = (improvement < tol) | (gradient < tol)
+            upd = ~done & (new_cost < cost)
+            return (
+                jnp.where(upd, x_new, x),
+                jnp.where(upd, new_cost, cost),
+                done | newly,
+            )
 
-        x = jax.lax.fori_loop(
-            0, model.opt.iterations, iteration_fast, x0, unroll=True
+        x, _, _ = jax.lax.fori_loop(
+            0, model.opt.iterations, iteration_fast,
+            (x0, jnp.minimum(c_ws, c_sm), jnp.asarray(False)),
+            unroll=True,
         )
     else:
         def cost_at_x(x):

@@ -137,4 +137,9 @@ def test_fused_elliptic_matches_xla(monkeypatch):
     scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
     for r, g, what in zip(ref, fused, ("qacc", "qfrc", "efc_fc")):
         err = float(jnp.max(jnp.abs(r - g)))
-        assert err / scale < 5e-4, (what, err, scale)
+        # with tolerance-based Newton termination the two paths may stop
+        # one iteration apart (their J assemblies round differently), so
+        # force SPLITS among redundant contact rows agree only to solver
+        # tolerance; qacc — the physical output — stays tight
+        atol = 5e-4 if what == "qacc" else 2e-3
+        assert err / scale < atol, (what, err, scale)

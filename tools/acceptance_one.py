@@ -103,8 +103,35 @@ def run(task: str, steps: int = 25, seed: int = 11) -> int:
     return 1
 
 
+def _gym_transparency(env, task, steps, seed, reset_fn, step_fn,
+                      native_obs) -> int:
+    """Reference harness also replays the rollout through the Gymnasium
+    wrapper and requires the same stream (test_environments.py:83-94).
+    Wrap the SAME env instance (and reuse its jitted fns) and compare."""
+    from loco_mujoco_tpu.envs.gymnasium_env import GymnasiumWrapper
+
+    gym_env = GymnasiumWrapper(_prebuilt_env=env)
+    gym_env._reset_fn = reset_fn
+    gym_env._step_fn = step_fn
+    obs, _ = gym_env.reset(seed=seed)
+    np.testing.assert_allclose(
+        obs, native_obs[0], atol=0,
+        err_msg=f"{task}: gym reset obs != native",
+    )
+    rng = np.random.default_rng(seed)
+    for i in range(len(native_obs) - 1):
+        action = rng.normal(scale=0.1, size=env.action_dim)
+        obs, reward, terminated, truncated, info = gym_env.step(action)
+        if truncated or not np.allclose(obs, native_obs[i + 1], atol=0):
+            print(f"FAIL {task}: gym wrapper diverged at step {i}")
+            return 1
+    print(f"PASS-GYM {task}: wrapper transparent over {len(native_obs)-1} steps")
+    return 0
+
+
 def _run_once(env, task: str, steps: int, seed: int) -> int:
-    state = jax.jit(env.reset)(jax.random.PRNGKey(seed))
+    reset_fn = jax.jit(env.reset)
+    state = reset_fn(jax.random.PRNGKey(seed))
     step_fn = jax.jit(env.step)
 
     env_id = int(state.env_id)
@@ -140,6 +167,7 @@ def _run_once(env, task: str, steps: int, seed: int) -> int:
     rng = np.random.default_rng(seed)
     max_q = max_o = 0.0
     validated = steps
+    native_obs = [np.asarray(state.obs)]
     for i in range(steps):
         action = rng.normal(scale=0.1, size=env.action_dim)
         ctrl = action * np.asarray(env.norm_act_delta) + np.asarray(
@@ -163,8 +191,11 @@ def _run_once(env, task: str, steps: int, seed: int) -> int:
                 f"entered unsupported self-collision regime), "
                 f"max qpos err {max_q:.2e}, max obs err {max_o:.2e}"
             )
-            return 0
+            return _gym_transparency(
+                env, task, steps, seed, reset_fn, step_fn, native_obs
+            )
         state = step_fn(state, jnp.asarray(action))
+        native_obs.append(np.asarray(state.obs))
 
         qerr = float(np.max(np.abs(np.asarray(state.data.qpos) - mj_data.qpos)))
         oerr = float(
@@ -189,7 +220,9 @@ def _run_once(env, task: str, steps: int, seed: int) -> int:
         f"PASS {task}: {steps} steps, env_id={env_id}, "
         f"max qpos err {max_q:.2e}, max obs err {max_o:.2e}"
     )
-    return 0
+    return _gym_transparency(
+        env, task, steps, seed, reset_fn, step_fn, native_obs
+    )
 
 
 if __name__ == "__main__":
