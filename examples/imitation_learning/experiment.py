@@ -4,8 +4,16 @@ best-agent checkpoints), redesigned for the batched TPU envs: one process
 drives thousands of envs, metrics stream from jitted iterations, and
 checkpoints are pickled pytrees.
 
+Deterministic evaluation (reference experiment.py:50-57): every
+`eval_every` iterations a jitted mean-action rollout computes R
+(undiscounted return), J (discounted) and L (episode length); the best
+agent is selected on eval R — NOT on the discriminator reward, which is
+adversarial and non-stationary. `--resume` continues from the last
+checkpoint (policy/critic/discriminator params AND optimizer states).
+
 Usage:
     python experiment.py --env UnitreeA1.simple.real --n_iterations 200
+    python experiment.py --env ... --resume   # continue from last.pkl
 """
 
 from __future__ import annotations
@@ -13,13 +21,16 @@ from __future__ import annotations
 import argparse
 import json
 import pickle
+import sys
 from pathlib import Path
 
 import yaml
 
-import loco_mujoco_tpu as lmt
-from loco_mujoco_tpu.algorithms import GAIL, GAILConfig
-from loco_mujoco_tpu.algorithms import VAIL, VAILConfig
+sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
+
+import loco_mujoco_tpu as lmt  # noqa: E402
+from loco_mujoco_tpu.algorithms import GAIL, GAILConfig  # noqa: E402
+from loco_mujoco_tpu.algorithms import VAIL, VAILConfig  # noqa: E402
 
 
 def load_conf(env_name):
@@ -38,7 +49,8 @@ def load_conf(env_name):
 
 
 def experiment(env_name="UnitreeA1.simple.real", n_iterations=200, seed=0,
-               debug=False, results_dir="./logs", **cfg_overrides):
+               debug=False, results_dir="./logs", resume=False,
+               eval_every=50, eval_envs=32, **cfg_overrides):
     env = lmt.make(env_name, debug=debug)
     expert = env.create_dataset()["states"]
     cfg, agent_cls = load_conf(env_name)
@@ -48,16 +60,41 @@ def experiment(env_name="UnitreeA1.simple.real", n_iterations=200, seed=0,
 
     out = Path(results_dir) / env_name / f"seed_{seed}"
     out.mkdir(parents=True, exist_ok=True)
-    best = {"reward": float("-inf")}
+
+    start_it = 0
+    best_R = float("-inf")
+    if resume and (out / "last.pkl").exists():
+        with open(out / "last.pkl", "rb") as f:
+            ckpt = pickle.load(f)
+        agent.state = ckpt["state"]
+        start_it = ckpt["iteration"] + 1
+        best_R = ckpt.get("best_R", best_R)
+        print(f"resumed from iteration {ckpt['iteration']}")
+
+    history = []
+
+    def save(path, it, extra=None):
+        with open(path, "wb") as f:
+            pickle.dump(
+                dict(state=agent.state, iteration=it, best_R=best_R,
+                     **(extra or {})), f,
+            )
 
     def log_cb(it, m):
+        nonlocal best_R
+        if it % eval_every == 0 or it == n_iterations - 1:
+            ev = agent.evaluate(n_envs=eval_envs, seed=seed + 991)
+            m = dict(m, **{f"eval_{k}": v for k, v in ev.items()})
+            if ev["R"] > best_R:
+                best_R = ev["R"]
+                save(out / "best_agent.pkl", it, {"eval": ev})
         print(json.dumps(dict(iteration=it, **m)))
-        if m["gail_reward"] > best["reward"]:
-            best["reward"] = m["gail_reward"]
-            with open(out / "best_agent.pkl", "wb") as f:
-                pickle.dump(agent.state, f)
+        history.append(dict(iteration=it, **m))
+        save(out / "last.pkl", it)
 
-    history = agent.train(n_iterations, seed=seed, callback=log_cb)
+    agent.train(
+        n_iterations, seed=seed, callback=log_cb, start_iteration=start_it
+    )
     with open(out / "history.json", "w") as f:
         json.dump(history, f, indent=1)
     return history
@@ -71,6 +108,9 @@ if __name__ == "__main__":
     ap.add_argument("--debug", action="store_true",
                     help="use the bundled mini datasets")
     ap.add_argument("--results_dir", default="./logs")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from <results>/last.pkl")
+    ap.add_argument("--eval_every", type=int, default=50)
     ap.add_argument("--quick", action="store_true",
                     help="tiny sizes for a smoke run")
     a = ap.parse_args()
@@ -81,4 +121,4 @@ if __name__ == "__main__":
         else {}
     )
     experiment(a.env, a.n_iterations, a.seed, a.debug, a.results_dir,
-               **overrides)
+               resume=a.resume, eval_every=a.eval_every, **overrides)

@@ -281,12 +281,13 @@ class GAIL:
         return new_ts, env_states, rng, metrics
 
     # ---- outer loop ------------------------------------------------------
-    def train(self, n_iterations, seed=0, log_every=10, callback=None):
-        rng = jax.random.PRNGKey(seed)
+    def train(self, n_iterations, seed=0, log_every=10, callback=None,
+              start_iteration=0):
+        rng = jax.random.fold_in(jax.random.PRNGKey(seed), start_iteration)
         rng, k0 = jax.random.split(rng)
         env_states = self.env.reset_batch(k0, self.cfg.n_envs)
         history = []
-        for it in range(n_iterations):
+        for it in range(start_iteration, n_iterations):
             self.state, env_states, rng, m = self.train_iteration(
                 self.state, env_states, rng
             )
@@ -300,3 +301,55 @@ class GAIL:
     def act(self, obs):
         """Deterministic (mean) action for evaluation."""
         return self.pi.apply(self.state.pi_params, obs)
+
+    # ---- deterministic evaluation (reference experiment.py:50-57) ---------
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _eval_rollout(self, ts: TrainState, n_envs: int, n_steps: int, rng):
+        """Jitted eval: mean-action rollout accumulating per-episode
+        R (undiscounted return), J (discounted, mdp gamma) and L (length)
+        over every episode that COMPLETES within n_steps — the analogue of
+        mushroom-rl's compute_J/compute_episodes_length over
+        core.evaluate(n_episodes) dataset."""
+        gamma = jnp.asarray(self.env.gamma, jnp.float32)
+        step = jax.vmap(self.env.step)
+        states = self.env.reset_batch(rng, n_envs)
+        z = jnp.zeros(n_envs, jnp.float32)
+        acc0 = (jnp.zeros(()), jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
+
+        def body(carry, _):
+            states, ep_r, ep_j, ep_l, acc = carry
+            act = jnp.clip(self.pi.apply(ts.pi_params, states.obs), -1, 1)
+            nxt = step(states, act)
+            r = nxt.reward.astype(jnp.float32)
+            ep_r = ep_r + r
+            ep_j = ep_j + jnp.power(gamma, ep_l) * r
+            ep_l = ep_l + 1.0
+            d = nxt.done
+            df = d.astype(jnp.float32)
+            acc_r, acc_j, acc_l, n = acc
+            acc = (
+                acc_r + jnp.sum(df * ep_r),
+                acc_j + jnp.sum(df * ep_j),
+                acc_l + jnp.sum(df * ep_l),
+                n + jnp.sum(df),
+            )
+            keep = 1.0 - df
+            return (nxt, ep_r * keep, ep_j * keep, ep_l * keep, acc), None
+
+        (_, _, _, _, acc), _ = jax.lax.scan(
+            body, (states, z, z, z, acc0), None, length=n_steps
+        )
+        acc_r, acc_j, acc_l, n = acc
+        n = jnp.maximum(n, 1.0)
+        return acc_r / n, acc_j / n, acc_l / n, acc[3]
+
+    def evaluate(self, n_envs: int = 32, n_steps: int | None = None,
+                 seed: int = 424):
+        """Deterministic-policy metrics: dict(R, J, L, n_episodes)."""
+        if n_steps is None:
+            n_steps = int(self.env.horizon)
+        R, J, L, n = self._eval_rollout(
+            self.state, n_envs, n_steps, jax.random.PRNGKey(seed)
+        )
+        return dict(R=float(R), J=float(J), L=float(L),
+                    n_episodes=int(n))

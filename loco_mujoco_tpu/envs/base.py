@@ -354,18 +354,44 @@ class LocoEnv:
         data = state.data.replace(ctrl=a)
 
         # substeps via lax.scan: one traced substep body instead of an
-        # n_substeps-times unrolled graph (10x smaller trace / compile)
+        # n_substeps-times unrolled graph (10x smaller trace / compile).
+        # The carry holds ONLY the integrated state (qpos/qvel/act/qacc/
+        # warmstart/time) — threading the full Data pytree through the scan
+        # copies every derived field (FK products, contacts, forces) in and
+        # out of the loop buffers each substep (~6 ms/step of copy/slice
+        # kernels at 4096 envs) even though fwd.step recomputes all of them
+        # before use.
         def substep(carry, _):
-            d, win = carry
+            qpos, qvel, act, qacc, ws, t, win = carry
+            d = data.replace(
+                qpos=qpos, qvel=qvel, act=act, qacc=qacc,
+                qacc_warmstart=ws, time=t,
+            )
             d = fwd.step(model, d)
             d = self._substep_hook(d, state)
             if self.use_foot_forces:
                 grf = self._grf(d)
                 win = jnp.concatenate([win[1:], grf[None]], axis=0)
-            return (d, win), None
+            return (
+                d.qpos, d.qvel, d.act, d.qacc, d.qacc_warmstart, d.time, win
+            ), None
 
-        (data, grf_window), _ = jax.lax.scan(
-            substep, (data, state.grf_window), None, length=self.n_substeps
+        d0 = data
+        (qpos, qvel, act, qacc, ws, t, grf_window), _ = jax.lax.scan(
+            substep,
+            (d0.qpos, d0.qvel, d0.act, d0.qacc, d0.qacc_warmstart, d0.time,
+             state.grf_window),
+            None, length=self.n_substeps,
+        )
+        # end-of-step Data: integrated fields are current; derived fields
+        # are start-of-step values, recomputed by the next step's forward
+        # before anything reads them (same contract as auto-reset's
+        # full_forward=False path). The only derived field an observation
+        # reads (A1's dir-arrow site_xmat) is replaced by goal features in
+        # _modify_observation.
+        data = data.replace(
+            qpos=qpos, qvel=qvel, act=act, qacc=qacc, qacc_warmstart=ws,
+            time=t,
         )
         st = state.replace(grf_window=grf_window)
 

@@ -79,79 +79,112 @@ def _make_kernel(D):
         iota = jax.lax.broadcasted_iota(jnp.int32, (V, 1), 0).astype(f32)
 
         for p in range(PB):
-            tbl = tbl_ref[p]  # (3+4D, V)
-            vx = tbl[0, :][:, None]  # (V, 1)
-            vy = tbl[1, :][:, None]
-            vz = tbl[2, :][:, None]
             a0 = a_ref[p, 0, :][None, :]  # (1, BE)
             a1 = a_ref[p, 1, :][None, :]
             a2 = a_ref[p, 2, :][None, :]
             b = b_ref[p, 0, :][None, :]
             margin = marg_ref[p, 0, 0]
             dedupe2 = marg_ref[p, 1, 0]  # squared dedupe radius
+            rb = marg_ref[p, 2, 0]  # hull radius about the mesh frame
 
-            h = vx * a0 + vy * a1 + vz * a2 + b  # (V, BE)
+            # cheap conservative bound: |a| = 1 (a = R2'n, R orthonormal),
+            # so min_v h = min_v (v.a) + b >= b - max_v |v| = b - rb. When
+            # every env in the block is beyond margin by this bound, the
+            # pair cannot produce an active contact anywhere in the block —
+            # skip the (V, BE) height map AND the manifold walk, emitting
+            # the bound as the slot-0 depth (it only serves as a top-K
+            # ranking key, and lb >= margin ranks it behind every active
+            # pair). Walking robots keep most of the floor x body-mesh
+            # candidate set multiple bound-radii off the ground, so this
+            # gate removes the bulk of the group's work (humanoid: 75
+            # pairs, of which a handful are ever near the floor).
+            lb = b - rb - 1e-6
+            big_row = jnp.full_like(lb[0], _BIG)
+            dist_ref[p, 0, :] = lb[0]
+            dist_ref[p, 1, :] = big_row
+            dist_ref[p, 2, :] = big_row
+            tbl = tbl_ref[p]  # (3+4D, V)
+            zero_row = lb[0] * 0.0
+            for i3 in range(9):
+                vsel_ref[p, i3, :] = zero_row + tbl[i3 % 3, 0]
 
-            d0 = jnp.min(h, axis=0, keepdims=True)
-            i0 = jnp.min(
-                jnp.where(h == d0, iota, float(V)), axis=0, keepdims=True
-            )
-            oh0 = (iota == i0).astype(f32)  # (V, BE)
+            @pl.when(jnp.min(lb) < margin)
+            def _near(p=p, tbl=tbl, a0=a0, a1=a1, a2=a2, b=b,
+                      margin=margin, dedupe2=dedupe2):
+                vx = tbl[0, :][:, None]  # (V, 1)
+                vy = tbl[1, :][:, None]
+                vz = tbl[2, :][:, None]
 
-            # one MXU matmul gathers v0 coords, neighbor ids and neighbor
-            # coords for the support vertex of every env in the block
-            q = jax.lax.dot_general(
-                tbl, oh0, (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-            )  # (3+4D, BE)
-            v0x, v0y, v0z = q[0][None], q[1][None], q[2][None]
-            ids = q[3 : 3 + D]           # (D, BE)
-            cx = q[3 + D : 3 + 2 * D]
-            cy = q[3 + 2 * D : 3 + 3 * D]
-            cz = q[3 + 3 * D : 3 + 4 * D]
+                h = vx * a0 + vy * a1 + vz * a2 + b  # (V, BE)
 
-            hc = cx * a0 + cy * a1 + cz * a2 + b  # (D, BE)
-            ex = cx - v0x + 0.5 * d0 * a0
-            ey = cy - v0y + 0.5 * d0 * a1
-            ez = cz - v0z + 0.5 * d0 * a2
-            dist2 = ex * ex + ey * ey + ez * ez
-            qual = (ids > -0.5) & (hc < margin) & (dist2 >= dedupe2)
-            qf = qual.astype(f32)
+                d0 = jnp.min(h, axis=0, keepdims=True)
+                dist_ref[p, 0, :] = d0[0]
 
-            big = jnp.full_like(d0, _BIG)
-            zero = jnp.zeros_like(d0)
-            cnt = zero
-            d1 = d2 = big
-            v1x = v1y = v1z = v2x = v2y = v2z = zero
-            for dc in range(D):
-                qd = qf[dc][None]  # (1, BE)
-                t1 = qd * (cnt == 0.0).astype(f32)
-                t2 = qd * (cnt == 1.0).astype(f32)
-                d1 = d1 + t1 * (hc[dc][None] - d1)
-                v1x = v1x + t1 * (cx[dc][None] - v1x)
-                v1y = v1y + t1 * (cy[dc][None] - v1y)
-                v1z = v1z + t1 * (cz[dc][None] - v1z)
-                d2 = d2 + t2 * (hc[dc][None] - d2)
-                v2x = v2x + t2 * (cx[dc][None] - v2x)
-                v2y = v2y + t2 * (cy[dc][None] - v2y)
-                v2z = v2z + t2 * (cz[dc][None] - v2z)
-                cnt = cnt + qd
+                # manifold construction only when some env is within
+                # margin of an actual contact (slots of farther pairs are
+                # inactive rows whose values never reach the solver)
+                @pl.when(jnp.min(d0) < margin)
+                def _manifold():
+                    i0 = jnp.min(
+                        jnp.where(h == d0, iota, float(V)),
+                        axis=0, keepdims=True,
+                    )
+                    oh0 = (iota == i0).astype(f32)  # (V, BE)
 
-            dist_ref[p, 0, :] = d0[0]
-            dist_ref[p, 1, :] = d1[0]
-            dist_ref[p, 2, :] = d2[0]
-            # selected vertex coordinates (mesh-local), slot-major: avoids
-            # a per-env take_along_axis gather on the XLA side (which
-            # lowered to layout-copy storms costing more than this kernel)
-            vsel_ref[p, 0, :] = q[0]
-            vsel_ref[p, 1, :] = q[1]
-            vsel_ref[p, 2, :] = q[2]
-            vsel_ref[p, 3, :] = v1x[0]
-            vsel_ref[p, 4, :] = v1y[0]
-            vsel_ref[p, 5, :] = v1z[0]
-            vsel_ref[p, 6, :] = v2x[0]
-            vsel_ref[p, 7, :] = v2y[0]
-            vsel_ref[p, 8, :] = v2z[0]
+                    # one MXU matmul gathers v0 coords, neighbor ids and
+                    # neighbor coords for the support vertex of every env
+                    q = jax.lax.dot_general(
+                        tbl, oh0, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )  # (3+4D, BE)
+                    v0x, v0y, v0z = q[0][None], q[1][None], q[2][None]
+                    ids = q[3 : 3 + D]           # (D, BE)
+                    cx = q[3 + D : 3 + 2 * D]
+                    cy = q[3 + 2 * D : 3 + 3 * D]
+                    cz = q[3 + 3 * D : 3 + 4 * D]
+
+                    hc = cx * a0 + cy * a1 + cz * a2 + b  # (D, BE)
+                    ex = cx - v0x + 0.5 * d0 * a0
+                    ey = cy - v0y + 0.5 * d0 * a1
+                    ez = cz - v0z + 0.5 * d0 * a2
+                    dist2 = ex * ex + ey * ey + ez * ez
+                    qual = (ids > -0.5) & (hc < margin) & (dist2 >= dedupe2)
+                    qf = qual.astype(f32)
+
+                    big = jnp.full_like(d0, _BIG)
+                    zero = jnp.zeros_like(d0)
+                    cnt = zero
+                    d1 = d2 = big
+                    v1x = v1y = v1z = v2x = v2y = v2z = zero
+                    for dc in range(D):
+                        qd = qf[dc][None]  # (1, BE)
+                        t1 = qd * (cnt == 0.0).astype(f32)
+                        t2 = qd * (cnt == 1.0).astype(f32)
+                        d1 = d1 + t1 * (hc[dc][None] - d1)
+                        v1x = v1x + t1 * (cx[dc][None] - v1x)
+                        v1y = v1y + t1 * (cy[dc][None] - v1y)
+                        v1z = v1z + t1 * (cz[dc][None] - v1z)
+                        d2 = d2 + t2 * (hc[dc][None] - d2)
+                        v2x = v2x + t2 * (cx[dc][None] - v2x)
+                        v2y = v2y + t2 * (cy[dc][None] - v2y)
+                        v2z = v2z + t2 * (cz[dc][None] - v2z)
+                        cnt = cnt + qd
+
+                    dist_ref[p, 1, :] = d1[0]
+                    dist_ref[p, 2, :] = d2[0]
+                    # selected vertex coordinates (mesh-local), slot-major:
+                    # avoids a per-env take_along_axis gather on the XLA
+                    # side (which lowered to layout-copy storms costing
+                    # more than this kernel)
+                    vsel_ref[p, 0, :] = q[0]
+                    vsel_ref[p, 1, :] = q[1]
+                    vsel_ref[p, 2, :] = q[2]
+                    vsel_ref[p, 3, :] = v1x[0]
+                    vsel_ref[p, 4, :] = v1y[0]
+                    vsel_ref[p, 5, :] = v1z[0]
+                    vsel_ref[p, 6, :] = v2x[0]
+                    vsel_ref[p, 7, :] = v2y[0]
+                    vsel_ref[p, 8, :] = v2z[0]
 
     return kernel
 
@@ -189,8 +222,8 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
     if Ep != E or Pp != P:
         at = jnp.pad(at, ((0, Pp - P), (0, 0), (0, Ep - E)))
         bt = jnp.pad(bt, ((0, Pp - P), (0, 0), (0, Ep - E)))
-    marg = np.zeros((Pp, 2, 1), np.float32)
-    marg[:P] = np.asarray(marg_tuple, np.float32).reshape(P, 2, 1)
+    marg = np.zeros((Pp, 3, 1), np.float32)
+    marg[:P] = np.asarray(marg_tuple, np.float32).reshape(P, 3, 1)
     marg = jnp.asarray(marg)
     if Pp != P:
         tbl = np.concatenate(
@@ -209,7 +242,7 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 1, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 2, 1), lambda p, e: (p, 0, 0),
+            pl.BlockSpec((PB, 3, 1), lambda p, e: (p, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -284,8 +317,16 @@ def pack_plane_mesh_buckets(model, pid, vcap):
             tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 0].T
             tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 1].T
             tbl[i, 3 + 3 * D : 3 + 4 * D] = coords[:, :, 2].T
+        # per-pair hull radius about the mesh frame origin: the kernel's
+        # conservative support-distance bound (skip gate)
+        rb = np.array(
+            [np.linalg.norm(verts[p][vmask[p]], axis=1).max()
+             for p in ids],
+            np.float32,
+        )
         marg = np.stack(
-            [margin[ids], (dedupe[ids] ** 2).astype(np.float32)], axis=1
+            [margin[ids], (dedupe[ids] ** 2).astype(np.float32), rb],
+            axis=1,
         )
         subs.append((
             ids,

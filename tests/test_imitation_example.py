@@ -38,3 +38,13 @@ def test_gail_trains_on_a1():
     act = agent.act(state.obs)
     assert act.shape == (4, env.action_dim)
     assert bool(jnp.all(jnp.isfinite(act)))
+
+    # deterministic evaluation metrics R / J / L (reference
+    # experiment.py:50-57): episodes complete within the window (fall or
+    # horizon) and J is the gamma-discounted counterpart of R
+    ev = agent.evaluate(n_envs=4, n_steps=60, seed=3)
+    assert ev["n_episodes"] >= 1
+    for k in ("R", "J", "L"):
+        assert np.isfinite(ev[k]), (k, ev)
+    assert 1.0 <= ev["L"] <= 60.0
+    assert abs(ev["J"]) <= abs(ev["R"]) + 1e-6 or ev["R"] == 0.0
