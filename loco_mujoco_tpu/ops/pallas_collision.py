@@ -397,8 +397,19 @@ def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
         key = dist[:, 0, :] - tbl[:, 0]  # (P, BE); tbl col 0 = pair margin
         iota = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(f32)
 
-        ds_rows, pos_rows, fr_rows, meta_rows = [], [], [], []
+        BE = key.shape[-1]
+        zrow = jnp.zeros((BE,), f32)
+        big_row = jnp.full((BE,), _BIG, f32)
+        canon_fr = (0.0, 0.0, 1.0, 0.0, 1.0, 0.0, -1.0, 0.0, 0.0)
         for s in range(k):
+            # selection bookkeeping stays unconditional (cheap, and `key`
+            # must thread through the python loop); the one-hot gathers and
+            # world-position/frame math — the expensive part — run only
+            # while some env still has an active (key < 0) pair left.
+            # Keys only grow across slots, so once a slot is all-inactive
+            # every later slot is too and its rows stay at the fallback:
+            # dist=BIG (act=0 in the solver — values never used), slot-0
+            # pair's static meta, canonical frame.
             m = jnp.min(key, axis=0, keepdims=True)  # (1, BE)
             i = jnp.min(
                 jnp.where(key == m, iota, float(P)), axis=0, keepdims=True
@@ -406,54 +417,65 @@ def _topk_kernel_builder(P, k, pg1, pg2, ngeom):
             oh = (iota == i).astype(f32)  # (P, BE)
             key = jnp.where(oh > 0, _BIG, key)
 
-            ohe = oh[:, None, :]
-            dsel = jnp.sum(ohe * dist, axis=0)        # (3, BE)
-            vs = jnp.sum(ohe * vsel, axis=0)          # (9, BE)
-            n = jnp.sum(ohe * n_all, axis=0)          # (3, BE)
-            qp = jnp.sum(ohe * qp_all, axis=0)        # (3, BE)
-            qR = jnp.sum(ohe * qR_all, axis=0)        # (9, BE)
-            meta = jnp.sum(ohe * tbl[:, 1:, :], axis=0)  # (15, BE)
-
-            # world positions: w = qp + R v; pos = w - n * dist/2
-            pos_f = []
             for f in range(3):
-                d2 = 0.5 * dsel[f]
-                for i3 in range(3):
-                    w = (
-                        qp[i3]
-                        + qR[3 * i3 + 0] * vs[3 * f + 0]
-                        + qR[3 * i3 + 1] * vs[3 * f + 1]
-                        + qR[3 * i3 + 2] * vs[3 * f + 2]
-                    )
-                    pos_f.append(w - n[i3] * d2)
-            # contact frame from n (mju_makeFrame convention)
-            use_y = jnp.abs(n[1]) < 0.5
-            ax = [
-                jnp.where(use_y, 0.0, 0.0),
-                jnp.where(use_y, 1.0, 0.0),
-                jnp.where(use_y, 0.0, 1.0),
-            ]
-            ndot = n[0] * ax[0] + n[1] * ax[1] + n[2] * ax[2]
-            t1 = [ax[i3] - n[i3] * ndot for i3 in range(3)]
-            t1n = jnp.maximum(
-                jnp.sqrt(t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2]),
-                1e-15,
-            )
-            t1 = [t / t1n for t in t1]
-            t2 = [
-                n[1] * t1[2] - n[2] * t1[1],
-                n[2] * t1[0] - n[0] * t1[2],
-                n[0] * t1[1] - n[1] * t1[0],
-            ]
-            ds_rows.append(dsel)
-            pos_rows.append(jnp.stack(pos_f))
-            fr_rows.append(jnp.stack([n[0], n[1], n[2], *t1, *t2]))
-            meta_rows.append(meta)
+                ds_ref[s, f, :] = big_row
+            for f in range(9):
+                pos_ref[s, f, :] = zrow
+            for f in range(9):
+                fr_ref[s, f, :] = zrow + canon_fr[f]
+            for f in range(15):
+                meta_ref[s, f, :] = zrow + tbl[0, 1 + f, 0]
 
-        ds_ref[...] = jnp.stack(ds_rows)      # (k, 4, BE)
-        pos_ref[...] = jnp.stack(pos_rows)    # (k, 12, BE)
-        fr_ref[...] = jnp.stack(fr_rows)      # (k, 9, BE)
-        meta_ref[...] = jnp.stack(meta_rows)  # (k, 15, BE)
+            @pl.when(jnp.min(m) < 0.0)
+            def _build(s=s, oh=oh):
+                ohe = oh[:, None, :]
+                dsel = jnp.sum(ohe * dist, axis=0)        # (3, BE)
+                vs = jnp.sum(ohe * vsel, axis=0)          # (9, BE)
+                n = jnp.sum(ohe * n_all, axis=0)          # (3, BE)
+                qp = jnp.sum(ohe * qp_all, axis=0)        # (3, BE)
+                qR = jnp.sum(ohe * qR_all, axis=0)        # (9, BE)
+                meta = jnp.sum(ohe * tbl[:, 1:, :], axis=0)  # (15, BE)
+
+                # world positions: w = qp + R v; pos = w - n * dist/2
+                pos_f = []
+                for f in range(3):
+                    d2 = 0.5 * dsel[f]
+                    for i3 in range(3):
+                        w = (
+                            qp[i3]
+                            + qR[3 * i3 + 0] * vs[3 * f + 0]
+                            + qR[3 * i3 + 1] * vs[3 * f + 1]
+                            + qR[3 * i3 + 2] * vs[3 * f + 2]
+                        )
+                        pos_f.append(w - n[i3] * d2)
+                # contact frame from n (mju_makeFrame convention)
+                use_y = jnp.abs(n[1]) < 0.5
+                ax = [
+                    jnp.where(use_y, 0.0, 0.0),
+                    jnp.where(use_y, 1.0, 0.0),
+                    jnp.where(use_y, 0.0, 1.0),
+                ]
+                ndot = n[0] * ax[0] + n[1] * ax[1] + n[2] * ax[2]
+                t1 = [ax[i3] - n[i3] * ndot for i3 in range(3)]
+                t1n = jnp.maximum(
+                    jnp.sqrt(t1[0] * t1[0] + t1[1] * t1[1] + t1[2] * t1[2]),
+                    1e-15,
+                )
+                t1 = [t / t1n for t in t1]
+                t2 = [
+                    n[1] * t1[2] - n[2] * t1[1],
+                    n[2] * t1[0] - n[0] * t1[2],
+                    n[0] * t1[1] - n[1] * t1[0],
+                ]
+                for f in range(3):
+                    ds_ref[s, f, :] = dsel[f]
+                for f in range(9):
+                    pos_ref[s, f, :] = pos_f[f]
+                fr_vals = [n[0], n[1], n[2], *t1, *t2]
+                for f in range(9):
+                    fr_ref[s, f, :] = fr_vals[f]
+                for f in range(15):
+                    meta_ref[s, f, :] = meta[f]
 
     return kernel
 

@@ -84,7 +84,8 @@ def chol_solve_spd(M, rhs, nv, jitter=0.0):
 
 def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
                nv, iterations, ls_iterations, ne, nfl,
-               ell_runs=(), ell_mu=None, scale=None, tolerance=None):
+               ell_runs=(), ell_mu=None, scale=None, tolerance=None,
+               pyr=None):
     """The Newton solve on VMEM-resident values, env axis in lanes.
 
     J: indexable as J[k] -> (nrows, BE) (a (nv, nrows, BE) array or a list
@@ -114,8 +115,28 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
     in solver.py's convergent path) with masked updates, and exit the
     Newton loop for the whole block once every env is done. Warm-started
     steady-state solves converge in 2-4 iterations, so this typically
-    skips half the fixed `iterations` budget."""
+    skips half the fixed `iterations` budget.
+
+    pyr: pyramidal-contact axis form (fused assembly only). The 4
+    condim-3 facet rows per slot are linear combinations of the 3 contact
+    AXIS Jacobians, jn +/- mu1 j1 and jn +/- mu2 j2, so the hot passes run
+    on 3*ncon axis rows instead of 4*ncon facet rows: the Hessian
+    contribution of one slot collapses to jn_a u_b + j1_a v_b + j2_a w_b
+    (u = c_nn jn + c_n1 j1 + c_n2 j2, v = c_n1 jn + c_11 j1,
+    w = c_n2 jn + c_22 j2 from the facet weights), J'f uses the facet
+    force combines, and J x builds facet rows from 3 axis dots. With pyr
+    given, `J` carries ONLY rows [0, s0) (equality/friction-loss/limit);
+    pyr = dict(jt=[t][dof] (ncon, BE) axis rows, mu1/mu2 (ncon, BE),
+    s0=first contact row). Facet-row quantities (zones, cost, force)
+    still walk the full static program on the assembled jar."""
     nrows = aref.shape[0]
+
+    if pyr is not None:
+        assert not ell_runs
+        p_s0 = pyr["s0"]
+        p_jt = pyr["jt"]  # [3][nv] -> (ncon, BE)
+        p_mu1, p_mu2 = pyr["mu1"], pyr["mu2"]  # (ncon, BE) or scalar
+        p_ncon = pyr["ncon"]
 
     # -- elliptic preamble: per-run cone-scaled coordinates ----------------
     ell = []
@@ -308,10 +329,57 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         return tot
 
     def matvec_J(x):  # (nv, BE) -> (nrows, BE)
+        if pyr is not None:
+            zn = p_jt[0][0] * x[0][None]
+            z1 = p_jt[1][0] * x[0][None]
+            z2 = p_jt[2][0] * x[0][None]
+            for k in range(1, nv):
+                xk = x[k][None]
+                zn = zn + p_jt[0][k] * xk
+                z1 = z1 + p_jt[1][k] * xk
+                z2 = z2 + p_jt[2][k] * xk
+            # BLOCKED facet layout (4 contiguous groups of ncon rows):
+            # a pure concat — the per-contact interleaved layout needed a
+            # sublane-stride shuffle per matvec that cost more than the
+            # axis form saved (measured 50 -> 72 ms/step)
+            fac = jnp.concatenate(
+                [zn + p_mu1 * z1, zn - p_mu1 * z1,
+                 zn + p_mu2 * z2, zn - p_mu2 * z2],
+                axis=0,
+            )
+            if p_s0 == 0:
+                return fac
+            top = J[0] * x[0][None]
+            for k in range(1, nv):
+                top = top + J[k] * x[k][None]
+            return jnp.concatenate([top, fac], axis=0)
         acc = J[0] * x[0][None]
         for k in range(1, nv):
             acc = acc + J[k] * x[k][None]
         return acc
+
+    def jtf_dot(f):  # (nrows, BE) -> per-dof list of (BE,) rows: J' f
+        if pyr is not None:
+            n_c = p_ncon
+            ff0 = f[p_s0:p_s0 + n_c]
+            ff1 = f[p_s0 + n_c:p_s0 + 2 * n_c]
+            ff2 = f[p_s0 + 2 * n_c:p_s0 + 3 * n_c]
+            ff3 = f[p_s0 + 3 * n_c:p_s0 + 4 * n_c]
+            fn = ff0 + ff1 + ff2 + ff3
+            f1c = p_mu1 * (ff0 - ff1)
+            f2c = p_mu2 * (ff2 - ff3)
+            ftop = f[:p_s0] if p_s0 else None
+            out = []
+            for a in range(nv):
+                s = jnp.sum(
+                    p_jt[0][a] * fn + p_jt[1][a] * f1c + p_jt[2][a] * f2c,
+                    axis=0,
+                )
+                if p_s0:
+                    s = s + jnp.sum(J[a] * ftop, axis=0)
+                out.append(s)
+            return out
+        return [jnp.sum(J[a] * f, axis=0) for a in range(nv)]
 
     def matvec_M(x):  # (nv, BE) -> (nv, BE)
         # row a: sum_k M[a,k] x[k] — M[a] is a contiguous (nv, BE) tile
@@ -342,23 +410,59 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         mdx0 = matvec_M(x - asm)  # (nv, BE)
 
         # grad = M(x - asm) - J' f
-        grad = [mdx0[a] - jnp.sum(J[a] * f, axis=0) for a in range(nv)]
+        jtf = jtf_dot(f)
+        grad = [mdx0[a] - jtf[a] for a in range(nv)]
 
         # H = M + J' diag(w) J (+ elliptic rank-1 rows) — upper triangle
         h = [[None] * nv for _ in range(nv)]
-        for a in range(nv):
-            wja = w * J[a]
-            va = Vw * V[a] if ell else None
-            for b in range(a, nv):
-                s = jnp.sum(wja * J[b], axis=0)
-                if ell:
-                    s = s + jnp.sum(va * V[b], axis=0)
-                s = s + M[a, b, :]
-                if b == a:
-                    s = s + 1e-12  # jitter, as in the XLA path
-                h[a][b] = s
-                if b != a:
-                    h[b][a] = s
+        if pyr is not None:
+            # per-slot facet-weight combines -> 3 weighted axis rows per dof
+            n_c = p_ncon
+            wf0 = w[p_s0:p_s0 + n_c]
+            wf1 = w[p_s0 + n_c:p_s0 + 2 * n_c]
+            wf2 = w[p_s0 + 2 * n_c:p_s0 + 3 * n_c]
+            wf3 = w[p_s0 + 3 * n_c:p_s0 + 4 * n_c]
+            w12 = wf0 + wf1
+            w34 = wf2 + wf3
+            c_nn = w12 + w34
+            c_n1 = p_mu1 * (wf0 - wf1)
+            c_11 = p_mu1 * p_mu1 * w12
+            c_n2 = p_mu2 * (wf2 - wf3)
+            c_22 = p_mu2 * p_mu2 * w34
+            wtop = w[:p_s0] if p_s0 else None
+            U = [c_nn * p_jt[0][b] + c_n1 * p_jt[1][b] + c_n2 * p_jt[2][b]
+                 for b in range(nv)]
+            Vx = [c_n1 * p_jt[0][b] + c_11 * p_jt[1][b] for b in range(nv)]
+            Wx = [c_n2 * p_jt[0][b] + c_22 * p_jt[2][b] for b in range(nv)]
+            for a in range(nv):
+                wja = wtop * J[a] if p_s0 else None
+                jn_a, j1_a, j2_a = p_jt[0][a], p_jt[1][a], p_jt[2][a]
+                for b in range(a, nv):
+                    s = jnp.sum(
+                        jn_a * U[b] + j1_a * Vx[b] + j2_a * Wx[b], axis=0
+                    )
+                    if p_s0:
+                        s = s + jnp.sum(wja * J[b], axis=0)
+                    s = s + M[a, b, :]
+                    if b == a:
+                        s = s + 1e-12  # jitter, as in the XLA path
+                    h[a][b] = s
+                    if b != a:
+                        h[b][a] = s
+        else:
+            for a in range(nv):
+                wja = w * J[a]
+                va = Vw * V[a] if ell else None
+                for b in range(a, nv):
+                    s = jnp.sum(wja * J[b], axis=0)
+                    if ell:
+                        s = s + jnp.sum(va * V[b], axis=0)
+                    s = s + M[a, b, :]
+                    if b == a:
+                        s = s + 1e-12  # jitter, as in the XLA path
+                    h[a][b] = s
+                    if b != a:
+                        h[b][a] = s
 
         # Cholesky H = L L' (unrolled, env-vector ops)
         l = [[None] * nv for _ in range(nv)]
