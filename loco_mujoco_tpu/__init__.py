@@ -7,6 +7,14 @@ Public surface mirrors the reference package root (`loco_mujoco/__init__.py`):
 `reset(key) -> EnvState`, `step(state, action) -> EnvState`.
 """
 
+import os as _os
+
+# headless rendering: mujoco latches its GL backend when the `mujoco`
+# package is first imported, so the defaults must be set before any
+# submodule pulls it in (envs/rendering.py documents the EGL path)
+_os.environ.setdefault("MUJOCO_GL", "egl")
+_os.environ.setdefault("PYOPENGL_PLATFORM", _os.environ["MUJOCO_GL"])
+
 from .registry import get_all_task_names, make, register, registered_envs
 from .envs import EnvState, LocoEnv
 

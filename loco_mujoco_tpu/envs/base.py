@@ -513,16 +513,52 @@ class LocoEnv:
             )
         return dataset
 
+    # ------------------------------------------------------------------
+    # rendering (reference base.py:75-76, 331-337: viewer camera modes +
+    # VideoRecorder; here a host-side replay renderer on the oracle twin)
+    # ------------------------------------------------------------------
+    def _get_renderer(self, **params):
+        if getattr(self, "_renderer", None) is None:
+            if self._mj_model is None:
+                raise RuntimeError(
+                    "rendering needs the host MjModel; this env was built "
+                    "without one"
+                )
+            from .rendering import MujocoRenderer
+
+            self._renderer = MujocoRenderer(self._mj_model, **params)
+        return self._renderer
+
+    def render_state(self, state_or_qpos, **params):
+        """Render one env's state (or raw qpos vector) to an (H, W, 3)
+        uint8 frame on the host renderer."""
+        qpos = getattr(
+            getattr(state_or_qpos, "data", state_or_qpos), "qpos",
+            state_or_qpos,
+        )
+        return self._get_renderer(**params).render(np.asarray(qpos))
+
     def play_trajectory(self, n_episodes=1, n_steps_per_episode=None,
-                       from_velocity=False, callback=None, rng=None):
+                       from_velocity=False, callback=None, rng=None,
+                       render=False, record=False, recorder_params=None):
         """Kinematic replay (base.py:314-476): inject each trajectory sample
         into the state, run the position stage, and emit the observation
         stream. `from_velocity=True` integrates qpos from the dataset's
         velocities instead of using its positions (base.py:388-476).
+        `render`/`record` mirror the reference's flags: frames go through
+        the host renderer; `record=True` additionally writes them via
+        VideoRecorder (recorder_params: path/fps/tag — base.py:331-337).
         Returns the (n_steps, obs_dim) observation array."""
         assert self.traj is not None
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         steps = n_steps_per_episode or self.traj.traj_len
+
+        recorder = None
+        if record:
+            from .rendering import VideoRecorder
+
+            recorder = VideoRecorder(**(recorder_params or {}))
+            render = True
 
         @jax.jit
         def build_obs(sample, prev_qpos):
@@ -550,8 +586,14 @@ class LocoEnv:
                     prev_qpos = d0.qpos
                 obs, prev_qpos = build_obs(sample, prev_qpos)
                 all_obs.append(np.asarray(obs))
+                if render:
+                    frame = self.render_state(prev_qpos)
+                    if recorder is not None:
+                        recorder(frame)
                 if callback is not None:
                     callback(np.asarray(obs))
+        if recorder is not None:
+            recorder.stop()
         return np.asarray(all_obs)
 
     def _blank_state(self, data):

@@ -69,10 +69,12 @@ class GymnasiumWrapper(gymnasium.Env):
         return obs, reward, terminated, False, {}
 
     def render(self):
-        raise NotImplementedError(
-            "rendering lands with the viewer milestone (host-side replay "
-            "renderer via mujoco.viewer)"
-        )
+        """rgb_array frames via the host-side replay renderer (the
+        reference's interactive GLFW viewer maps to headless EGL here;
+        reference gymnasium.py:34-38 maps render_mode the same way)."""
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
+        return self._env.render_state(self._state)
 
 
 def register_gymnasium():
