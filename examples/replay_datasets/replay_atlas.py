@@ -1,0 +1,6 @@
+"""Replay the Atlas.walk.real dataset (reference examples/replay_datasets/)."""
+
+from replay import main
+
+if __name__ == "__main__":
+    main("Atlas.walk.real")

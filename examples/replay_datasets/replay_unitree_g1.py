@@ -1,0 +1,6 @@
+"""Replay the UnitreeG1.walk.real dataset (reference examples/replay_datasets/)."""
+
+from replay import main
+
+if __name__ == "__main__":
+    main("UnitreeG1.walk.real")

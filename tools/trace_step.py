@@ -23,9 +23,12 @@ TASK = sys.argv[1] if len(sys.argv) > 1 else "HumanoidTorque.run.real"
 N = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+copts = tpu_compiler_options()
 env = lmt.make(TASK, debug=True)
-reset_fn = jax.jit(jax.vmap(env.reset))
-step_fn = jax.jit(jax.vmap(env.step))
+reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=copts)
+step_fn = jax.jit(jax.vmap(env.step), compiler_options=copts)
 
 states = reset_fn(jax.random.split(jax.random.PRNGKey(0), N))
 actions = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (N, env.action_dim))
