@@ -15,6 +15,10 @@ import os as _os
 _os.environ.setdefault("MUJOCO_GL", "egl")
 _os.environ.setdefault("PYOPENGL_PLATFORM", _os.environ["MUJOCO_GL"])
 
+from .utils.tpu import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
 from .registry import get_all_task_names, make, register, registered_envs
 from .envs import EnvState, LocoEnv
 

@@ -534,14 +534,14 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # (~28 ms/step of small-op kernels at 4096 envs)
         asm = pn.chol_solve_spd(M, vp[o_qfs:o_qfs + nv], plan.nv)
         ws = vp[o_ws:o_ws + nv]
-        E = qpos.shape[-1]
+        eshape = qpos.shape[1:]  # trailing env block: (BE,) or (S, 128)
         f32 = qpos.dtype
 
         def full(v):
-            return jnp.full((1, E), v, dtype=f32)
+            return jnp.full((1, *eshape), v, dtype=f32)
 
-        zeros1 = jnp.zeros((1, E), dtype=f32)
-        ones1 = jnp.ones((1, E), dtype=f32)
+        zeros1 = jnp.zeros((1, *eshape), dtype=f32)
+        ones1 = jnp.ones((1, *eshape), dtype=f32)
 
         # ------------------------------------------------------------------
         # per-group row pieces; every J list entry is (n_group_rows, E).
@@ -785,7 +785,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                         for v in range(nv):
                             maskd = maskd_of[v]
                             if maskd is None:
-                                z = jnp.zeros((cnt, E), dtype=f32)
+                                z = jnp.zeros((cnt, *eshape), dtype=f32)
                                 for t in range(3):
                                     ja_run[t][v] = z
                                 continue
@@ -804,7 +804,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                         if d > 3:
                             rows_v += [ja_run[t][v] for t in range(d - 3)]
                         blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
-                        J_parts[v].append(blk.reshape(cnt * d, E))
+                        J_parts[v].append(blk.reshape(cnt * d, *eshape))
 
                     # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
                     vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
@@ -818,7 +818,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                     for t in range(1, d):
                         aref_rows.append(-bc[sl] * vel_rows[t])
                     aref_parts.append(
-                        jnp.stack(aref_rows, axis=1).reshape(cnt * d, E)
+                        jnp.stack(aref_rows, axis=1).reshape(cnt * d, *eshape)
                     )
                     m0 = mu0[sl]
                     R_rows = [R_nc[sl]]
@@ -831,11 +831,11 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                             MINVAL,
                         ))
                     R_parts.append(
-                        jnp.stack(R_rows, axis=1).reshape(cnt * d, E)
+                        jnp.stack(R_rows, axis=1).reshape(cnt * d, *eshape)
                     )
                     act_parts.append(jnp.stack(
                         [act_c[sl]] * d, axis=1
-                    ).reshape(cnt * d, E))
+                    ).reshape(cnt * d, *eshape))
                     mu_parts.append(m0 / (plan.impratio ** 0.5))
                     i = j
                 mu_all = (
@@ -855,11 +855,11 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         D = 1.0 / R
         if plan.nfl:
             floss_fl = jnp.concatenate(
-                [jnp.full((1, E), r["floss"], dtype=f32) for r in plan.fl],
+                [jnp.full((1, *eshape), r["floss"], dtype=f32) for r in plan.fl],
                 axis=0,
             )
         else:
-            floss_fl = jnp.zeros((1, E), dtype=f32)
+            floss_fl = jnp.zeros((1, *eshape), dtype=f32)
 
         s0 = plan.ne + plan.nfl + plan.nl
         pyr = None

@@ -71,6 +71,104 @@ def _t2d(x):
     return out
 
 
+def _tg_kernel(x_ref, o_ref):
+    # (128, bk) env-major tile -> (bk, 1, 128) grouped tile (same MXU
+    # transpose as _t2d_kernel, lane-sized env block)
+    x = x_ref[...]  # (128, bk)
+    E = x.shape[0]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (E, E), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (E, E), 1)
+    ).astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (bk, 128)
+    o_ref[...] = y[:, None, :]
+
+
+def _fg_kernel(x_ref, o_ref):
+    # (bk, 1, 128) grouped tile -> (128, bk) env-major tile
+    x = x_ref[...][:, 0, :]  # (bk, 128)
+    K = x.shape[0]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    ).astype(x.dtype)
+    o_ref[...] = jax.lax.dot_general(
+        x, eye, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (128, bk)
+
+
+def to_grouped(x, r_pad=None):
+    """(E, K) env-major -> (K, R, 128) grouped env layout.
+
+    Element (e, k) lands at (k, e // 128, e % 128); R = ceil(E/128),
+    optionally padded up to ``r_pad`` rows (so a kernel block of S sublane
+    rows covers S*128 envs with no partial group). The sublane axis of
+    every (S, 128) tile is 8 distinct env rows — kernels consuming this
+    layout run their per-env scalar chains at full VPU sublane occupancy
+    instead of the 1/8 a (BE,)-vector layout gets.
+    """
+    E, K = x.shape
+    R = (E + 127) // 128
+    if r_pad is not None:
+        R = ((R + r_pad - 1) // r_pad) * r_pad
+    Ep = R * 128
+    from . import pallas_newton as pn
+
+    if K < 8 or pn._INTERPRET or E < 128:
+        if Ep != E:
+            x = jnp.pad(x, ((0, Ep - E), (0, 0)))
+        return x.T.reshape(K, R, 128)
+    bk = _BK if K >= _BK else ((K + 127) // 128) * 128
+    Kp = ((K + bk - 1) // bk) * bk
+    if (Ep, Kp) != (E, K):
+        x = jnp.pad(x, ((0, Ep - E), (0, Kp - K)))
+    out = pl.pallas_call(
+        _tg_kernel,
+        grid=(R, Kp // bk),
+        in_specs=[
+            pl.BlockSpec((128, bk), lambda r, k: (r, k),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((bk, 1, 128), lambda r, k: (k, r, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Kp, R, 128), x.dtype),
+        interpret=pn._INTERPRET,
+    )(x)
+    return out[:K] if Kp != K else out
+
+
+def from_grouped(x, E):
+    """(K, R, 128) grouped -> (E, K) env-major (inverse of to_grouped)."""
+    K, R, _ = x.shape
+    from . import pallas_newton as pn
+
+    if K < 8 or pn._INTERPRET or R * 128 < 128:
+        return x.reshape(K, R * 128).T[:E]
+    bk = _BK if K >= _BK else ((K + 127) // 128) * 128
+    Kp = ((K + bk - 1) // bk) * bk
+    if Kp != K:
+        x = jnp.pad(x, ((0, Kp - K), (0, 0), (0, 0)))
+    out = pl.pallas_call(
+        _fg_kernel,
+        grid=(R, Kp // bk),
+        in_specs=[
+            pl.BlockSpec((bk, 1, 128), lambda r, k: (k, r, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((128, bk), lambda r, k: (r, k),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R * 128, Kp), x.dtype),
+        interpret=pn._INTERPRET,
+    )(x)
+    return out[:E, :K]
+
+
 def moveaxis0_last(x):
     """moveaxis(x, 0, -1) via the tiled transpose: (E, *rest) -> (*rest, E)."""
     E = x.shape[0]

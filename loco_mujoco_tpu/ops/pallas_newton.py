@@ -30,6 +30,7 @@ Opt out with LMT_PALLAS=0 (same switch as the collision kernel).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,8 +41,27 @@ from jax.experimental.pallas import tpu as pltpu
 from .constraint import MINVAL
 from .pallas_collision import pallas_enabled  # noqa: F401  (re-exported)
 
-_BE = 128  # env block (one lane tile; BE=256 measured ~6% slower —
-# the (nrows, BE) Hessian passes dominate and prefer the smaller tile)
+_BE = 128  # env lane width (one lane tile)
+_S_MAX = int(os.environ.get("LMT_ENV_SUBLANES", "8"))  # env sublane rows
+
+
+def pick_sublanes(E, bytes_per_env=None):
+    """Env sublane rows S for the grouped (S, 128) block layout.
+
+    Per-env scalars in the solver kernels are (S, 128) tiles — S env rows
+    in sublanes x 128 envs in lanes. At S=1 every scalar op uses 1 of the
+    VPU's 8 sublanes (measured 2.46 ns/env-value for a dependent FMA
+    chain); at S=8 the same chain costs 0.30 ns/env-value. S shrinks when
+    the block's VMEM footprint would exceed the scoped budget, or when the
+    batch is too small to fill a block.
+    """
+    s = max(1, min(_S_MAX, (E + 127) // 128))
+    if bytes_per_env is not None:
+        budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
+        # leave headroom for Mosaic stack temporaries the estimate misses
+        while s > 1 and s * 128 * bytes_per_env > 0.7 * budget:
+            s //= 2
+    return s
 
 # tests set this to run the kernel in interpret mode on CPU (parity vs the
 # XLA fast path without TPU hardware)
@@ -138,12 +158,16 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         p_mu1, p_mu2 = pyr["mu1"], pyr["mu2"]  # (ncon, BE) or scalar
         p_ncon = pyr["ncon"]
 
+    # trailing env-block shape: (BE,) legacy lanes-only form or (S, 128)
+    # sublane-packed groups — all row/scalar code below is shape-generic
+    eshape = aref.shape[1:]
+
     # -- elliptic preamble: per-run cone-scaled coordinates ----------------
     ell = []
     if ell_runs:
         off = 0
         for (s, cnt, d) in ell_runs:
-            Db = D[s:s + cnt * d].reshape(cnt, d, -1)
+            Db = D[s:s + cnt * d].reshape(cnt, d, *eshape)
             dn = Db[:, 0]
             cone_scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], MINVAL))
             mu = ell_mu[off:off + cnt]  # (cnt, BE)
@@ -175,7 +199,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
     def _ell_zone(e, jb, want):
         """Cone zone pieces for one run at jar rows jb (cnt*d, BE)."""
         cnt, d = e["cnt"], e["d"]
-        jb = jb.reshape(cnt, d, -1)
+        jb = jb.reshape(cnt, d, *eshape)
         u = jb * e["scale"]
         n = u[:, 0]
         t = jnp.sqrt(jnp.sum(u[:, 1:] ** 2, axis=1))
@@ -197,7 +221,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         if "f" in want:
             f_mid = -(e["dm"] * nmt * midf)[:, None] * g
             f_bot = -(e["Db"] * jb) * botf[:, None]
-            out["f"] = (f_mid + f_bot).reshape(cnt * d, -1)
+            out["f"] = (f_mid + f_bot).reshape(cnt * d, *eshape)
         if "c" in want:
             c_mid = 0.5 * e["dm"] * nmt * nmt * midf
             c_bot = 0.5 * jnp.sum(e["Db"] * jb * jb, axis=1) * botf
@@ -208,7 +232,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             wblk = e["Db"] * botf[:, None]
             wtan = c2[:, None] * e["scale"][:, 1:] ** 2
             wblk = jnp.concatenate([wblk[:, :1], wblk[:, 1:] + wtan], axis=1)
-            out["w"] = wblk.reshape(cnt * d, -1)
+            out["w"] = wblk.reshape(cnt * d, *eshape)
             out["hess"] = dict(e=e, u=u, tsafe=tsafe, g=g,
                                wg=e["dm"] * midf, wq=-c2)
         return out
@@ -291,7 +315,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             for h in hess:
                 e = h["e"]
                 cnt, d = e["cnt"], e["d"]
-                Jb = J[a][e["s"]:e["s"] + cnt * d].reshape(cnt, d, -1)
+                Jb = J[a][e["s"]:e["s"] + cnt * d].reshape(cnt, d, *eshape)
                 jg = jnp.sum(h["g"] * Jb, axis=1)  # (cnt, BE)
                 wdir = h["u"][:, 1:] / h["tsafe"][:, None]
                 jq = jnp.sum(wdir * e["scale"][:, 1:] * Jb[:, 1:], axis=1)
@@ -565,7 +589,6 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
     inv_scale = 1.0 / float(scale)
     tol_s = float(tolerance)
     cost0 = jnp.minimum(c_ws, c_sm)
-    be = x.shape[-1]
     x_init = x
 
     def scoped(x_ref2, cost_ref, done_ref):
@@ -598,9 +621,9 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
 
     x = pl.run_scoped(
         scoped,
-        pltpu.VMEM((nv, be), jnp.float32),
-        pltpu.VMEM((1, be), jnp.float32),
-        pltpu.VMEM((1, be), jnp.float32),
+        pltpu.VMEM((nv, *eshape), jnp.float32),
+        pltpu.VMEM((1, *eshape), jnp.float32),
+        pltpu.VMEM((1, *eshape), jnp.float32),
     )
     return x, force_of(matvec_J(x) - aref)
 
@@ -630,63 +653,66 @@ def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
     static_argnames=("iterations", "ls_iterations", "ne", "nfl",
                      "scale", "tolerance"),
 )
-def _solve_batched(J, M, aref, D, R, floss, active, asm, ws,
+def _solve_batched(J, M, aref, D, R_, floss, active, asm, ws,
                    iterations, ls_iterations, ne, nfl,
                    scale=None, tolerance=None):
     """Batched solve. J (E, nefc, nv), M (E, nv, nv), rows (E, nefc),
-    vectors (E, nv) -> qacc (E, nv), force (E, nefc)."""
+    vectors (E, nv) -> qacc (E, nv), force (E, nefc).
+
+    Grouped env layout: every kernel block carries S*128 envs as (S, 128)
+    sublane x lane tiles (see pick_sublanes)."""
+    from . import pallas_layout as play
+
     E, nefc, nv = J.shape
-    Ep = ((E + _BE - 1) // _BE) * _BE
+    # VMEM/env: J + M + L + ~8 row arrays + vectors, f32
+    bpe = 4 * (nv * nefc + 2 * nv * nv + 8 * nefc + 6 * nv)
+    S = pick_sublanes(E, bpe)
+    R = (((E + 127) // 128 + S - 1) // S) * S
+    Ep = R * 128
 
-    def to_env_last(x):
-        x = jnp.moveaxis(x, 0, -1)
-        if Ep != E:
-            pad = [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)]
-            x = jnp.pad(x, pad)
-        return x
+    def to_g(x):  # (E, K) -> (K, R, 128)
+        return play.to_grouped(x.astype(jnp.float32), r_pad=S)
 
-    # J -> (nv, nefc, E): leading-index access inside the kernel
-    Jt = jnp.transpose(J.astype(jnp.float32), (2, 1, 0))
-    if Ep != E:
-        Jt = jnp.pad(Jt, ((0, 0), (0, 0), (0, Ep - E)))
-    Mt = to_env_last(M.astype(jnp.float32))
+    # J -> (nv, nefc, R, 128): leading-index access inside the kernel
+    Jt = to_g(
+        jnp.swapaxes(J, 1, 2).reshape(E, nv * nefc)
+    ).reshape(nv, nefc, R, 128)
+    Mt = to_g(M.reshape(E, nv * nv)).reshape(nv, nv, R, 128)
     # friction-loss bounds: only the fl rows enter the kernel
     floss_fl = floss[:, ne:ne + nfl]
-    rows = [to_env_last(v.astype(jnp.float32))
-            for v in (aref, D, R, active)]
-    flt = to_env_last(floss_fl.astype(jnp.float32))
-    vecs = [to_env_last(v.astype(jnp.float32)) for v in (asm, ws)]
+    rows = [to_g(v) for v in (aref, D, R_, active)]
+    flt = (to_g(floss_fl) if nfl
+           else jnp.zeros((1, R, 128), jnp.float32))
+    vecs = [to_g(v) for v in (asm, ws)]
 
     kernel = _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
                           scale=scale, tolerance=tolerance)
-    grid = (Ep // _BE,)
-    row_spec = pl.BlockSpec((nefc, _BE), lambda e: (0, e),
+    grid = (R // S,)
+    row_spec = pl.BlockSpec((nefc, S, 128), lambda e: (0, e, 0),
                             memory_space=pltpu.VMEM)
-    fl_spec = pl.BlockSpec((max(nfl, 1), _BE), lambda e: (0, e),
+    fl_spec = pl.BlockSpec((max(nfl, 1), S, 128), lambda e: (0, e, 0),
                            memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((nv, _BE), lambda e: (0, e),
+    vec_spec = pl.BlockSpec((nv, S, 128), lambda e: (0, e, 0),
                             memory_space=pltpu.VMEM)
-    if nfl == 0:
-        flt = jnp.zeros((1, Ep), jnp.float32)
     x, force = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nv, nefc, _BE), lambda e: (0, 0, e),
+            pl.BlockSpec((nv, nefc, S, 128), lambda e: (0, 0, e, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, nv, _BE), lambda e: (0, 0, e),
+            pl.BlockSpec((nv, nv, S, 128), lambda e: (0, 0, e, 0),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, fl_spec, row_spec,
             vec_spec, vec_spec,
         ],
         out_specs=[vec_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nv, Ep), jnp.float32),
-            jax.ShapeDtypeStruct((nefc, Ep), jnp.float32),
+            jax.ShapeDtypeStruct((nv, R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nefc, R, 128), jnp.float32),
         ],
         interpret=_INTERPRET,
     )(Jt, Mt, rows[0], rows[1], rows[2], flt, rows[3], *vecs)
-    return jnp.moveaxis(x[:, :E], -1, 0), jnp.moveaxis(force[:, :E], -1, 0)
+    return play.from_grouped(x, E), play.from_grouped(force, E)
 
 
 _SOLVER_CACHE: dict = {}

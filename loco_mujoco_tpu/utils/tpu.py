@@ -17,6 +17,29 @@ from __future__ import annotations
 import os
 
 SCOPED_VMEM_KIB = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
+
+# Persistent compilation cache: the flagship step executable costs ~85 s to
+# compile; cache it on disk so each tool/test/bench pays it once per machine
+# (VERDICT r1 weak #3). JAX only persists compilations above the min time.
+_CACHE_DIR = os.environ.get(
+    "LMT_COMPILATION_CACHE", os.path.expanduser("~/.cache/lmt_jax_cache")
+)
+
+
+def enable_compilation_cache() -> None:
+    """Point JAX's persistent compilation cache at a per-machine dir.
+
+    Idempotent; called at package import. Respects an explicit user
+    setting of ``jax_compilation_cache_dir`` / the JAX env var.
+    """
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 # the gate reads LMT_SCOPED_VMEM_KIB at plan-build time; make the default
 # visible to it even when the caller never set the env var
 os.environ.setdefault("LMT_SCOPED_VMEM_KIB", str(SCOPED_VMEM_KIB))
