@@ -72,8 +72,14 @@ def _t2d(x):
 
 
 def _tg_kernel(x_ref, o_ref):
-    # (128, bk) env-major tile -> (bk, 1, 128) grouped tile (same MXU
-    # transpose as _t2d_kernel, lane-sized env block)
+    # (128, bk) env-major tile -> (1, bk, 128) grouped tile (same MXU
+    # transpose as _t2d_kernel, lane-sized env block). The group axis is
+    # LEADING in the kernel output — Mosaic requires the last two block
+    # dims to be tile-divisible, and a (bk, 1, 128) block over a
+    # (K, R, 128) array violates that whenever R > 1 (observed: G1 at
+    # 4096 envs, R=32). The (R, K, 128) -> (K, R, 128) major-axis swap
+    # happens outside the kernel, where it keeps the lane dim and runs at
+    # copy bandwidth.
     x = x_ref[...]  # (128, bk)
     E = x.shape[0]
     eye = (
@@ -85,12 +91,12 @@ def _tg_kernel(x_ref, o_ref):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (bk, 128)
-    o_ref[...] = y[:, None, :]
+    o_ref[...] = y[None]
 
 
 def _fg_kernel(x_ref, o_ref):
-    # (bk, 1, 128) grouped tile -> (128, bk) env-major tile
-    x = x_ref[...][:, 0, :]  # (bk, 128)
+    # (1, bk, 128) grouped tile -> (128, bk) env-major tile
+    x = x_ref[...][0]  # (bk, 128)
     K = x.shape[0]
     eye = (
         jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
@@ -135,11 +141,12 @@ def to_grouped(x, r_pad=None):
             pl.BlockSpec((128, bk), lambda r, k: (r, k),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((bk, 1, 128), lambda r, k: (k, r, 0),
+        out_specs=pl.BlockSpec((1, bk, 128), lambda r, k: (r, k, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Kp, R, 128), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((R, Kp, 128), x.dtype),
         interpret=pn._INTERPRET,
     )(x)
+    out = jnp.swapaxes(out, 0, 1)  # major-dim swap: lane dim untouched
     return out[:K] if Kp != K else out
 
 
@@ -148,17 +155,21 @@ def from_grouped(x, E):
     K, R, _ = x.shape
     from . import pallas_newton as pn
 
-    if K < 8 or pn._INTERPRET or R * 128 < 128:
+    if K < 8 or pn._INTERPRET or E < 128:
+        # mirror of to_grouped's small-batch fallback: lane-padding a
+        # sub-128 env batch through the kernel costs more than XLA's copy
         return x.reshape(K, R * 128).T[:E]
     bk = _BK if K >= _BK else ((K + 127) // 128) * 128
     Kp = ((K + bk - 1) // bk) * bk
     if Kp != K:
         x = jnp.pad(x, ((0, Kp - K), (0, 0), (0, 0)))
+    x = jnp.swapaxes(x, 0, 1)  # (R, Kp, 128): group axis leading (see
+    # _tg_kernel — (bk, 1, 128) blocks over (K, R, 128) are not liftable)
     out = pl.pallas_call(
         _fg_kernel,
         grid=(R, Kp // bk),
         in_specs=[
-            pl.BlockSpec((bk, 1, 128), lambda r, k: (k, r, 0),
+            pl.BlockSpec((1, bk, 128), lambda r, k: (r, k, 0),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((128, bk), lambda r, k: (r, k),

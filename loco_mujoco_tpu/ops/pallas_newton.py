@@ -56,6 +56,12 @@ def pick_sublanes(E, bytes_per_env=None):
     batch is too small to fill a block.
     """
     s = max(1, min(_S_MAX, (E + 127) // 128))
+    # keep S a power of two that divides 8: with grid > 1, block windows
+    # start at sublane offset block_idx*S, and only power-of-two S keeps
+    # every offset f32-tile-compatible (an odd S like 3 — e.g. E=384
+    # shrunk by the VMEM check — would put windows at sublane 3, 6, ...,
+    # which Mosaic may reject or slow-path; ADVICE r2 medium)
+    s = 1 << (s.bit_length() - 1)
     if bytes_per_env is not None:
         budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
         # leave headroom for Mosaic stack temporaries the estimate misses
@@ -171,7 +177,7 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             dn = Db[:, 0]
             cone_scale = jnp.sqrt(Db / jnp.maximum(Db[:, :1], MINVAL))
             mu = ell_mu[off:off + cnt]  # (cnt, BE)
-            act_n = act[s:s + cnt * d].reshape(cnt, d, -1)[:, 0]
+            act_n = act[s:s + cnt * d].reshape(cnt, d, *eshape)[:, 0]
             dm = dn / (1.0 + mu * mu)
             ell.append(dict(s=s, cnt=cnt, d=d, Db=Db, scale=cone_scale,
                             mu=mu, act=act_n, dm=dm))

@@ -37,9 +37,15 @@ def enable_compilation_cache() -> None:
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
-        os.makedirs(_CACHE_DIR, exist_ok=True)
+        try:
+            os.makedirs(_CACHE_DIR, exist_ok=True)
+        except OSError:
+            return  # read-only $HOME (shared pods/CI): skip silently
         jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        if not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"):
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 2.0
+            )
 # the gate reads LMT_SCOPED_VMEM_KIB at plan-build time; make the default
 # visible to it even when the caller never set the env var
 os.environ.setdefault("LMT_SCOPED_VMEM_KIB", str(SCOPED_VMEM_KIB))

@@ -143,3 +143,50 @@ def test_fused_elliptic_matches_xla(monkeypatch):
         # tolerance; qacc — the physical output — stays tight
         atol = 5e-4 if what == "qacc" else 2e-3
         assert err / scale < atol, (what, err, scale)
+
+
+def test_pick_sublanes_power_of_two():
+    """Sublane block S must be a power of two dividing 8 — with grid > 1,
+    block windows start at sublane offset block*S, and odd S (e.g. E=384
+    -> ceil(E/128)=3) would place windows off the f32 tile grid (ADVICE r2
+    medium)."""
+    for E in (1, 64, 128, 256, 384, 640, 896, 1024, 4096, 5000):
+        s = pn.pick_sublanes(E)
+        assert s in (1, 2, 4, 8), (E, s)
+    # VMEM-budget shrink keeps the invariant: huge per-env footprint
+    for E in (4096, 384):
+        for bpe in (10_000, 60_000, 300_000, 10_000_000):
+            s = pn.pick_sublanes(E, bpe)
+            assert s in (1, 2, 4, 8), (E, bpe, s)
+    # monotone: more bytes/env never increases S
+    assert pn.pick_sublanes(4096, 300_000) <= pn.pick_sublanes(4096, 10_000)
+
+
+def test_plain_solver_shrunk_sublane_batch(humanoid_states, monkeypatch):
+    """The standalone solve kernel at E=384 (S=2, grid=3/2) and with a
+    forced budget shrink — functional parity in interpret mode for the
+    grouped layouts the power-of-two fix produces."""
+    env, st4 = humanoid_states
+    m = env.model
+    E = 384
+    with jax.enable_x64(False):
+        st = jax.jit(jax.vmap(env.reset))(
+            jax.random.split(jax.random.PRNGKey(7), E)
+        )
+    datas = st.data
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    # plain solve kernel only (fused gate off) — exercises _solve_batched's
+    # pick_sublanes path with grid > 1
+    monkeypatch.setattr(pc, "get_plan", lambda *_: None)
+    assert pn.pick_sublanes(E) == 2
+    plain = jax.jit(jax.vmap(lambda d: _fc(m, d)))(datas)
+
+    scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
+    for r, g, what in zip(ref, plain, ("qacc", "qfrc", "efc_fc")):
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)

@@ -1,0 +1,62 @@
+"""Per-task TPU throughput sweep in ONE process (single TPU claim).
+
+Usage: python tools/bench_all_tasks.py [task ...]
+Env:   BENCH_N_ENVS (default 4096), BENCH_N_STEPS (default 30)
+"""
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+N = int(os.environ.get("BENCH_N_ENVS", 4096))
+REPS = int(os.environ.get("BENCH_N_STEPS", 30))
+TASKS = sys.argv[1:] or [
+    "HumanoidTorque.run.real",
+    "UnitreeA1.simple.real",
+    "UnitreeG1.walk.real",
+    "HumanoidMuscle.walk.real",
+    "Atlas.walk.real",
+    "UnitreeH1.walk.real",
+]
+
+print(f"devices: {jax.devices()}  N={N} REPS={REPS}", flush=True)
+copts = tpu_compiler_options()
+
+for task in TASKS:
+    try:
+        t0 = time.time()
+        env = lmt.make(task, debug=True)
+        reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=copts)
+        step_fn = jax.jit(jax.vmap(env.step), compiler_options=copts)
+        states = reset_fn(jax.random.split(jax.random.PRNGKey(0), N))
+        states.obs.block_until_ready()
+        t_reset = time.time() - t0
+
+        actions = jnp.zeros((N, env.action_dim))
+        t0 = time.time()
+        states = step_fn(states, actions)
+        states.obs.block_until_ready()
+        t_compile = time.time() - t0
+
+        t0 = time.time()
+        for _ in range(REPS):
+            states = step_fn(states, actions)
+        states.obs.block_until_ready()
+        dt = (time.time() - t0) / REPS
+        ok = bool(jnp.isfinite(states.obs).all())
+        print(
+            f"RESULT {task}: {dt*1e3:8.1f} ms/step  {N/dt:10,.0f} env-steps/s"
+            f"  (reset {t_reset:.0f}s, step-compile {t_compile:.0f}s,"
+            f" finite={ok})",
+            flush=True,
+        )
+    except Exception as e:  # keep sweeping on per-task failure
+        print(f"RESULT {task}: FAIL {type(e).__name__}: {e}", flush=True)

@@ -26,8 +26,12 @@ from loco_mujoco_tpu.ops import (
     velocity,
 )
 
-N = 4096
-env = lmt.make("HumanoidTorque.run.real", debug=True)
+import os
+
+N = int(os.environ.get("BENCH_N_ENVS", 4096))
+env = lmt.make(
+    os.environ.get("BENCH_TASK", "HumanoidTorque.run.real"), debug=True
+)
 model = env.model
 print(
     f"nq={model.nq} nv={model.nv} nbody={model.nbody} ngeom={model.ngeom} "
