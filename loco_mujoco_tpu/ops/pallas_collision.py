@@ -213,8 +213,13 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
     BE = 256
     # pairs per program scale inversely with hull size: the unrolled
     # per-pair loop stack-allocates its (V, BE) maps, and a 3200-vertex
-    # hull at 16 pairs/program blows the 16 MB VMEM limit (observed on G1)
-    PB = max(1, min(_PB, P, int(4_000_000 // ((R + 3 * BE) * V * 4 // 3))))
+    # hull at 16 pairs/program blows the VMEM limit (observed on G1).
+    # Budget ~1/4 of the raised per-kernel scoped limit (vmem_params) —
+    # Mosaic's live-range peak over the raw map bytes is ~3x.
+    from . import pallas_newton as pn
+
+    budget = pn.vmem_params().vmem_limit_bytes // 4
+    PB = max(1, min(_PB, P, int(budget // ((R + 3 * BE) * V * 4 // 3))))
     Pp = ((P + PB - 1) // PB) * PB
     Ep = ((E + BE - 1) // BE) * BE
     at = jnp.moveaxis(a, 0, -1)  # (P, 3, E)
@@ -256,6 +261,7 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
             jax.ShapeDtypeStruct((Pp, 9, Ep), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=pn.vmem_params(),
     )(tbl, at, bt, marg)
     return dist[:P], vsel[:P]
 
@@ -292,8 +298,12 @@ def pack_plane_mesh_buckets(model, pid, vcap):
     buckets: dict = {}
     for p in range(len(pid)):
         buckets.setdefault(bucket_size(counts[p]), []).append(p)
-    if max(buckets) > 896:
-        return None  # oversized hull: VMEM (G1 pelvis) — XLA path
+    if max(buckets) > int(os.environ.get("LMT_MESH_VCAP", "5632")):
+        # oversized hull: per-program VMEM. The per-kernel scoped budget
+        # (vmem_params) plus the PB shrink in _select_batched_raw covers
+        # every shipped hull (H1 foot 1020, G1 torso 5365, pelvis 3160 at
+        # degree 98); the cap is a backstop for pathological assets.
+        return None
 
     subs, order = [], []
     for vb, ids in sorted(buckets.items()):
@@ -541,10 +551,13 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
             (lambda e: (0, e)) if len(shape) == 1 else (lambda e: (0, 0, e)),
             memory_space=pltpu.VMEM,
         )
+        from . import pallas_newton as pn
+
         ds, pos, fr, meta = pl.pallas_call(
             kernel,
             grid=(Ep // BE,),
             interpret=_INTERPRET,
+            compiler_params=pn.vmem_params(),
             in_specs=[
                 gs(P, 3), gs(P, 9), gs(nused, 3), gs(nused, 9),
                 pl.BlockSpec((P, 16, 1), lambda e: (0, 0, 0),

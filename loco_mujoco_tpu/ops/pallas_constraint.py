@@ -174,11 +174,12 @@ class RowPlan:
         self.nrows = self.ne + self.nfl + self.nl + self.ncrow
         if self.nrows == 0:
             return
-        if self.nrows > 280 and not self.elliptic:
-            # VMEM budget: J + row quantities at (nrows, 128) f32 — beyond
-            # ~280 rows the Mosaic compiler failed on the pyramidal kernel
-            # (observed: G1's 320 rows crash tpu_compile_helper). Such
-            # models keep the XLA path.
+        if self.nrows > 448 and not self.elliptic:
+            # VMEM backstop: beyond the validated envelope (G1: 320 rows,
+            # nv=29 compiles and runs under the raised per-kernel scoped
+            # budget — vmem_params; the historical 280 cap dated from the
+            # 16 MiB default limit). The est gate below scales S down
+            # first; this cap only rejects pathological models.
             return
         if self.elliptic and (self.nrows > 320 or model.nv > 24):
             # hard cap alongside the estimate below: models past the
@@ -205,6 +206,12 @@ class RowPlan:
         )
         if self.elliptic:
             est = int(est * 3.3)
+        else:
+            # pyramidal/limits calibration (axis-form kernel): Mosaic's
+            # live-range peak over the raw term count, measured on-chip at
+            # S=8 on the humanoid/H1/Atlas family
+            est = int(est * 2.2)
+        self.est_bytes = est  # per 128-env lane block (S = 1)
         import os as _os
 
         limit_kib = int(_os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
@@ -355,6 +362,24 @@ class RowPlan:
             self.body_geoms.setdefault(b, []).append(g)
         self.uniform = True
 
+    def pick_s(self, E):
+        """Env sublane rows S for the grouped (S, 128) block layout: the
+        largest power of two <= 8 whose scoped-VMEM footprint fits the
+        budget (per-env scalar chains — Cholesky, tree ops, line-search
+        scalars — run S x denser on the VPU's 8 sublanes). Override with
+        LMT_ENV_SUBLANES."""
+        import os as _os
+
+        s_max = int(_os.environ.get("LMT_ENV_SUBLANES", "8"))
+        s = max(1, min(s_max, (E + 127) // 128))
+        s = 1 << (s.bit_length() - 1)
+        budget = int(
+            _os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")
+        ) * 1024 * 0.95
+        while s > 1 and self.est_bytes * s > budget:
+            s //= 2
+        return s
+
     @property
     def nfric(self):
         """Friction components packed per slot (5 covers condim-6 elliptic
@@ -473,7 +498,14 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # vp: packed per-env vectors (see _fused_batched):
         #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)
         #    armature(nv)]
-        vp = vp_ref[...]
+        # every ref block carries a unit group axis ahead of the (S, 128)
+        # env block (the group axis is leading in the HBM arrays so any
+        # power-of-two S lowers — see _fused_batched); drop it on read
+        def rd(ref):
+            v = ref[...]
+            return v.reshape(*v.shape[:-3], *v.shape[-2:])
+
+        vp = rd(vp_ref)
         qpos = vp[0:nq]                      # (nq, BE)
         qvel = vp[nq:nq + nv]                # (nv, BE)
         o_cd = nq + nv
@@ -488,7 +520,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
 
         # --- composite rigid body: build M from cinert in VMEM (the XLA
         # crb einsums + the dense qM relayout cost ~20 ms/step) ---
-        ci = ci_ref[...]  # (nbody, 10, BE)
+        ci = rd(ci_ref)  # (nbody, 10, S, 128)
         crb = [ci[b] for b in range(plan.nbody)]  # (10, BE) each
         for b in plan.topo_rev:  # children accumulate into parents
             p = plan.body_parent[b]
@@ -609,7 +641,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # --- contacts ---
         mu_all = None
         if ncon:
-            cp = cp_ref[...]  # (ncon, W, BE) packed per-slot fields
+            cp = rd(cp_ref)  # (ncon, W, S, 128) packed per-slot fields
             if plan.uniform:
                 # uniform statics: [pos(3) dist geom2 (fric(2))] — frame,
                 # margin, kbi params and geom1's body are plan constants
@@ -873,8 +905,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
         )
 
-        x_ref[...] = x
-        force_ref[...] = force
+        x_ref[...] = x[:, None]
+        force_ref[...] = force[:, None]
         if pyr is not None:
             ffc0 = force[s0:s0 + ncon]
             ffc1 = force[s0 + ncon:s0 + 2 * ncon]
@@ -892,12 +924,12 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 if s0:
                     s = s + jnp.sum(J[v] * ftop, axis=0)
                 qfrc.append(s)
-            qfrc_ref[...] = jnp.stack(qfrc)
+            qfrc_ref[...] = jnp.stack(qfrc)[:, None]
         else:
             qfrc_ref[...] = jnp.stack(
                 [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
-            )
-        asm_ref[...] = asm
+            )[:, None]
+        asm_ref[...] = asm[:, None]
 
     return kernel
 
@@ -905,21 +937,22 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
 def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
                    tolerance, qpos, qvel,
                    cdof, com, cinert, qfs, ws, arm, cargs):
-    """Batched entry: env-major inputs, env-last kernel. cargs is the
-    (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
+    """Batched entry: env-major inputs, grouped (S, 128) env blocks in the
+    kernel. cargs is the (E, ncon, pack_w) packed contact array (dummy when
+    ncon == 0)."""
     E = qpos.shape[0]
-    Ep = ((E + _BE - 1) // _BE) * _BE
     f32 = jnp.float32
+    S = plan.pick_s(E)
+    R = (((E + 127) // 128 + S - 1) // S) * S
+    G = R // S
 
-    def tl(x):  # env-major -> env-last (+pad), tiled-transpose kernel
-        x = play.moveaxis0_last(x.astype(f32))
-        if Ep != E:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
-        return x
+    def tl(x, k):  # (E, k) env-major -> (k, G, S, 128) grouped
+        g = play.to_grouped(x.astype(f32), r_pad=S)
+        return g.reshape(k, G, S, 128)
 
     nv, nq, ncon = plan.nv, plan.nq, plan.ncon
     # pack the small per-env vectors into ONE wide array so the env-major ->
-    # env-last relayout is a single well-shaped tiled transpose (individual
+    # grouped relayout is a single well-shaped tiled transpose (individual
     # K<128 transposes fall back to XLA's ~9 GB/s copy loops and cost more
     # than the whole kernel)
     vec_pack = jnp.concatenate(
@@ -931,47 +964,51 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
         axis=-1,
     )
     nvec = nq + nv + nv * 6 + 3 + nv + nv + nv
-    ins = [tl(vec_pack), tl(cinert)]
-    specs = [
-        pl.BlockSpec((nvec, _BE), lambda e: (0, e), memory_space=pltpu.VMEM),
-        pl.BlockSpec((plan.nbody, 10, _BE), lambda e: (0, 0, e),
-                     memory_space=pltpu.VMEM),
-    ]
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (*dims, 1, S, 128),
+            lambda e: (0,) * nd + (e, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    ins = [tl(vec_pack, nvec),
+           tl(cinert.reshape(E, plan.nbody * 10), plan.nbody * 10).reshape(
+               plan.nbody, 10, G, S, 128)]
+    specs = [spec(nvec), spec(plan.nbody, 10)]
     W = plan.pack_w
     if ncon:
-        con_pack = cargs  # already packed (E, ncon, W) by fused_constraint
-        ins.append(tl(con_pack))
-        specs.append(
-            pl.BlockSpec((ncon, W, _BE), lambda e: (0, 0, e),
-                         memory_space=pltpu.VMEM)
-        )
+        # cargs is packed (E, ncon, W) by fused_constraint
+        ins.append(tl(cargs.reshape(E, ncon * W), ncon * W).reshape(
+            ncon, W, G, S, 128))
+        specs.append(spec(ncon, W))
     else:
-        ins.append(jnp.zeros((1, W, Ep), f32))
-        specs.append(
-            pl.BlockSpec((1, W, _BE), lambda e: (0, 0, e),
-                         memory_space=pltpu.VMEM)
-        )
+        ins.append(jnp.zeros((1, W, G, S, 128), f32))
+        specs.append(spec(1, W))
 
     kernel = _make_fused_kernel(plan, iterations, ls_iterations,
                                 scale=scale, tolerance=tolerance)
-    row_spec = pl.BlockSpec((plan.nrows, _BE), lambda e: (0, e),
-                            memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((nv, _BE), lambda e: (0, e),
-                            memory_space=pltpu.VMEM)
+    row_spec = spec(plan.nrows)
+    vec_spec = spec(nv)
     x, force, qfrc, asm = pl.pallas_call(
         kernel,
-        grid=(Ep // _BE,),
+        grid=(G,),
         in_specs=specs,
         out_specs=[vec_spec, row_spec, vec_spec, vec_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nv, Ep), f32),
-            jax.ShapeDtypeStruct((plan.nrows, Ep), f32),
-            jax.ShapeDtypeStruct((nv, Ep), f32),
-            jax.ShapeDtypeStruct((nv, Ep), f32),
+            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
+            jax.ShapeDtypeStruct((plan.nrows, G, S, 128), f32),
+            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
+            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
         ],
         interpret=pn._INTERPRET,
+        compiler_params=pn.vmem_params(),
     )(*ins)
-    back = lambda a: play.moveaxis_last0(a)[:E]
+
+    def back(a):
+        return play.from_grouped(a.reshape(a.shape[0], R, 128), E)
+
     return back(x), back(force), back(qfrc), back(asm)
 
 

@@ -74,6 +74,17 @@ def pick_sublanes(E, bytes_per_env=None):
 _INTERPRET = False
 
 
+def vmem_params():
+    """Per-kernel scoped-VMEM request for the solver kernels.
+
+    The grouped (S, 128) env blocks keep S x 128 envs of Newton state on
+    the Mosaic stack — more than the 16 MiB default scoped limit. Passing
+    the budget as kernel CompilerParams frees callers from threading
+    jit-level compiler options (plain `jax.jit(env.step)` works)."""
+    budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
+    return pltpu.CompilerParams(vmem_limit_bytes=budget)
+
+
 def chol_solve_spd(M, rhs, nv, jitter=0.0):
     """Solve M x = rhs for SPD M in env-last layout: M (nv, nv, BE) (or
     M[a] -> (nv, BE) rows), rhs (nv, BE). Unrolled Cholesky + substitution,
@@ -638,18 +649,24 @@ def _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
                  scale=None, tolerance=None):
     def kernel(J_ref, M_ref, aref_ref, D_ref, R_ref, fl_ref, act_ref,
                asm_ref, ws_ref, x_ref, force_ref):
-        # J is laid out (nv, nefc, BE): J[k] is a contiguous (nefc, BE) tile,
+        # J is laid out (nv, nefc, S, 128): J[k] is a contiguous row tile,
         # so every matvec / Hessian access is a full-tile VPU op (indexing
-        # the sublane dim of an (nefc, nv, BE) layout would shuffle instead)
+        # the sublane dim of an (nefc, nv, ...) layout would shuffle
+        # instead). Each ref block carries a unit group axis before the
+        # (S, 128) env block (see _solve_batched) — drop it on read.
+        def rd(ref):
+            v = ref[...]
+            return v.reshape(*v.shape[:-3], *v.shape[-2:])
+
         x, force = solve_core(
-            J_ref[...], M_ref[...], aref_ref[...], D_ref[...], R_ref[...],
-            fl_ref[...], act_ref[...],
-            asm_ref[...], ws_ref[...],
+            rd(J_ref), rd(M_ref), rd(aref_ref), rd(D_ref), rd(R_ref),
+            rd(fl_ref), rd(act_ref),
+            rd(asm_ref), rd(ws_ref),
             nv, iterations, ls_iterations, ne, nfl,
             scale=scale, tolerance=tolerance,
         )
-        x_ref[...] = x
-        force_ref[...] = force
+        x_ref[...] = x[:, None]
+        force_ref[...] = force[:, None]
 
     return kernel
 
@@ -674,50 +691,62 @@ def _solve_batched(J, M, aref, D, R_, floss, active, asm, ws,
     bpe = 4 * (nv * nefc + 2 * nv * nv + 8 * nefc + 6 * nv)
     S = pick_sublanes(E, bpe)
     R = (((E + 127) // 128 + S - 1) // S) * S
-    Ep = R * 128
+    G = R // S  # env-block groups; the GROUP axis is leading in every
+    # kernel operand so any power-of-two S lowers: Mosaic requires the
+    # last two block dims to be tile-divisible or whole, and a
+    # (..., S, 128) block over a (..., R, 128) array violates that
+    # whenever S < 8 and G > 1 — as (K, G, S, 128) the block is
+    # (K, 1, S, 128) whose trailing dims equal the array's.
 
-    def to_g(x):  # (E, K) -> (K, R, 128)
-        return play.to_grouped(x.astype(jnp.float32), r_pad=S)
+    def to_g(x, k):  # (E, k) -> (k, G, S, 128)
+        g = play.to_grouped(x.astype(jnp.float32), r_pad=S)
+        return g.reshape(k, G, S, 128)
 
-    # J -> (nv, nefc, R, 128): leading-index access inside the kernel
+    # J -> (nv, nefc, G, S, 128): leading-index access inside the kernel
     Jt = to_g(
-        jnp.swapaxes(J, 1, 2).reshape(E, nv * nefc)
-    ).reshape(nv, nefc, R, 128)
-    Mt = to_g(M.reshape(E, nv * nv)).reshape(nv, nv, R, 128)
+        jnp.swapaxes(J, 1, 2).reshape(E, nv * nefc), nv * nefc
+    ).reshape(nv, nefc, G, S, 128)
+    Mt = to_g(M.reshape(E, nv * nv), nv * nv).reshape(nv, nv, G, S, 128)
     # friction-loss bounds: only the fl rows enter the kernel
     floss_fl = floss[:, ne:ne + nfl]
-    rows = [to_g(v) for v in (aref, D, R_, active)]
-    flt = (to_g(floss_fl) if nfl
-           else jnp.zeros((1, R, 128), jnp.float32))
-    vecs = [to_g(v) for v in (asm, ws)]
+    rows = [to_g(v, nefc) for v in (aref, D, R_, active)]
+    flt = (to_g(floss_fl, nfl) if nfl
+           else jnp.zeros((1, G, S, 128), jnp.float32))
+    vecs = [to_g(v, nv) for v in (asm, ws)]
 
     kernel = _make_kernel(nefc, nv, iterations, ls_iterations, ne, nfl,
                           scale=scale, tolerance=tolerance)
-    grid = (R // S,)
-    row_spec = pl.BlockSpec((nefc, S, 128), lambda e: (0, e, 0),
-                            memory_space=pltpu.VMEM)
-    fl_spec = pl.BlockSpec((max(nfl, 1), S, 128), lambda e: (0, e, 0),
-                           memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((nv, S, 128), lambda e: (0, e, 0),
-                            memory_space=pltpu.VMEM)
+    grid = (G,)
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (*dims, 1, S, 128),
+            lambda e: (0,) * nd + (e, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    row_spec, fl_spec, vec_spec = (
+        spec(nefc), spec(max(nfl, 1)), spec(nv)
+    )
     x, force = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((nv, nefc, S, 128), lambda e: (0, 0, e, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nv, nv, S, 128), lambda e: (0, 0, e, 0),
-                         memory_space=pltpu.VMEM),
+            spec(nv, nefc), spec(nv, nv),
             row_spec, row_spec, row_spec, fl_spec, row_spec,
             vec_spec, vec_spec,
         ],
         out_specs=[vec_spec, row_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nv, R, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nefc, R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nv, G, S, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nefc, G, S, 128), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=vmem_params(),
     )(Jt, Mt, rows[0], rows[1], rows[2], flt, rows[3], *vecs)
+    x = x.reshape(nv, R, 128)
+    force = force.reshape(nefc, R, 128)
     return play.from_grouped(x, E), play.from_grouped(force, E)
 
 
