@@ -1,0 +1,25 @@
+"""Domain randomization example for HumanoidTorque4Ages.walk.all.real (mirrors reference
+examples/domain_randomization/example_humanoid_torque_4_ages.py): per-episode physics
+perturbations are sampled as batched model leaves inside the jitted reset —
+no XML recompilation or worker pool."""
+
+import jax
+
+import loco_mujoco_tpu as lmt
+
+CONF = ("/root/reference/loco_mujoco/environments/data/humanoid/"
+        "domain_randomization_humanoid.yaml")
+
+
+def main():
+    env = lmt.make("HumanoidTorque4Ages.walk.all.real", debug=True,
+                   domain_randomization_config=CONF)
+    s0 = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    s1 = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    for k in s0.dr:
+        print(k, "episode0 vs episode1 differ:",
+              bool((s0.dr[k] != s1.dr[k]).any()))
+
+
+if __name__ == "__main__":
+    main()

@@ -334,6 +334,28 @@ class UnitreeA1(LocoEnv):
             parts = path.split("/")
             parts.insert(3, "mini_datasets")
             full = REF_ROOT / "/".join(parts)
+            if (
+                task == "hard" and dataset_type == "real"
+                and not full.exists()
+            ):
+                # the reference asset pack ships a mini dataset for the
+                # simple task only; synthesize the 8-direction variant
+                # from it (utils.dataset.synthesize_walk_8_dir)
+                from ...utils.dataset import synthesize_walk_8_dir
+
+                src = (
+                    REF_ROOT / "datasets/quadrupeds/real/mini_datasets/"
+                    "walk_straight.npz"
+                )
+                cache = Path(
+                    os.environ.get(
+                        "LMT_SYNTH_DATASET_DIR",
+                        os.path.expanduser("~/.cache/lmt_datasets"),
+                    )
+                )
+                full = synthesize_walk_8_dir(
+                    src, cache / "walk_8_dir_mini.npz"
+                )
 
         if dataset_type == "perfect":
             # perfect data was recorded at the control rate with the

@@ -174,3 +174,56 @@ def adapt_mocap(path, joint_conf, unavailable_keys, rename_map=None,
     lo = discard_first or 0
     hi = -discard_last if discard_last else None
     return {k: v[lo:hi] for k, v in out.items()}
+
+
+def synthesize_walk_8_dir(src: Path, dst: Path) -> Path:
+    """Synthesize the A1 'hard' (8-direction) debug dataset from the
+    straight-walk mini dataset when `walk_8_dir.npz` is absent.
+
+    The reference ships mini datasets for the simple task only
+    (`datasets/quadrupeds/real/mini_datasets/` holds just
+    walk_straight.npz), so `UnitreeA1.hard.*` cannot build in debug mode
+    from assets alone. The hard task's dataset is the same gait walked in
+    8 compass directions (reference unitreeA1.py:628-629); this helper
+    constructs exactly that by rotating the straight walk about z in 45°
+    increments — the same world-frame transform the env's own reset-time
+    rotation augmentation applies (unitreeA1.py:270-291): trunk x/y
+    positions and velocities rotate, yaw and the dir-arrow rotation matrix
+    compose with Rz(theta), joint-local channels are unchanged.
+
+    Deterministic; writes `dst` once and returns it.
+    """
+    if dst.exists():
+        return dst
+    d = dict(np.load(src, allow_pickle=True))
+    n = len(np.asarray(d["q_trunk_tx"]))
+    split = np.asarray(d.pop("split_points", np.array([0, n])))
+    out: dict = {k: [] for k in d}
+    new_split = [0]
+    for k8 in range(8):
+        th = k8 * np.pi / 4.0
+        c, s = np.cos(th), np.sin(th)
+        rz = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+        for key, val in d.items():
+            val = np.asarray(val)
+            if key in ("q_trunk_tx", "dq_trunk_tx"):
+                pre = "dq" if key.startswith("dq") else "q"
+                y = np.asarray(d[f"{pre}_trunk_ty"])
+                out[key].append(c * val - s * y)
+            elif key in ("q_trunk_ty", "dq_trunk_ty"):
+                pre = "dq" if key.startswith("dq") else "q"
+                x = np.asarray(d[f"{pre}_trunk_tx"])
+                out[key].append(s * x + c * val)
+            elif key == "q_trunk_rotation":
+                out[key].append(val + th)
+            elif key == "dir_arrow":
+                m = val.reshape(-1, 3, 3)
+                out[key].append((rz[None] @ m).reshape(-1, 9))
+            else:
+                out[key].append(val)
+        new_split.extend((split[1:] + k8 * n).tolist())
+    arrs = {k: np.concatenate(v) for k, v in out.items()}
+    arrs["split_points"] = np.asarray(new_split, dtype=np.int64)
+    dst.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(dst, **arrs)
+    return dst

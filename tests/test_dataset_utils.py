@@ -84,3 +84,57 @@ def test_zenodo_urls_match_reference_records():
                  "humanoid_perfect", "quadruped_perfect"):
         assert "zenodo.org/records/13737593" in ZENODO_URLS[kind], kind
     assert "zenodo.org/records/10625721" in ZENODO_URLS["raw_mocap"]
+
+
+def test_synthesize_walk_8_dir(tmp_path):
+    """The synthetic A1 'hard' debug dataset: 8 rotated copies of the
+    straight walk with world-frame channels rotated and joint-local
+    channels untouched (the transform the env's reset rotation
+    augmentation applies, reference unitreeA1.py:270-291)."""
+    from loco_mujoco_tpu.utils.dataset import synthesize_walk_8_dir
+
+    rng = np.random.default_rng(0)
+    n = 40
+    src = {
+        "q_trunk_tx": rng.normal(size=n),
+        "q_trunk_ty": rng.normal(size=n),
+        "q_trunk_rotation": rng.normal(size=n),
+        "dq_trunk_tx": rng.normal(size=n),
+        "dq_trunk_ty": rng.normal(size=n),
+        "q_FR_hip_joint": rng.normal(size=n),
+        "dir_arrow": np.tile(np.eye(3).reshape(9), (n, 1)),
+        "goal_speed": np.full(n, 0.5),
+        "split_points": np.array([0, 20, 40]),
+    }
+    sp = tmp_path / "src.npz"
+    np.savez(sp, **src)
+    dst = synthesize_walk_8_dir(sp, tmp_path / "out.npz")
+    d = np.load(dst)
+    # 8 copies, split points per copy
+    assert len(d["q_trunk_tx"]) == 8 * n
+    np.testing.assert_array_equal(
+        d["split_points"][:5], [0, 20, 40, 60, 80]
+    )
+    # copy k=2 (90 deg): x' = -y, y' = x; yaw' = yaw + pi/2
+    s = slice(2 * n, 3 * n)
+    np.testing.assert_allclose(
+        d["q_trunk_tx"][s], -src["q_trunk_ty"], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        d["q_trunk_ty"][s], src["q_trunk_tx"], atol=1e-12
+    )
+    np.testing.assert_allclose(
+        d["q_trunk_rotation"][s], src["q_trunk_rotation"] + np.pi / 2
+    )
+    # joint-local channel unchanged; dir arrow rotated by Rz(pi/2)
+    np.testing.assert_allclose(d["q_FR_hip_joint"][s], src["q_FR_hip_joint"])
+    m = d["dir_arrow"][2 * n].reshape(3, 3)
+    np.testing.assert_allclose(
+        m, np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]]), atol=1e-12
+    )
+    # velocities rotate like positions
+    np.testing.assert_allclose(
+        d["dq_trunk_tx"][s], -src["dq_trunk_ty"], atol=1e-12
+    )
+    # idempotent: second call returns the cached file
+    assert synthesize_walk_8_dir(sp, dst) == dst
