@@ -363,3 +363,7 @@ class Data:
     qacc_smooth: jax.Array  # (nv,)
     qfrc_constraint: jax.Array  # (nv,)
     efc_force_contact: jax.Array  # (ncon, max_condim) per-contact forces in contact frame
+    # implicit-damping velocity update (M + h diag(damping))^-1 M qacc,
+    # emitted by the fused constraint kernel for Euler models so the
+    # integrator needs neither qM nor an XLA dense solve (None elsewhere)
+    euler_dv: jax.Array = None

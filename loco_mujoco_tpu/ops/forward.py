@@ -58,13 +58,17 @@ def fwd_position(model: Model, data: Data) -> Data:
     # identical before/after collision): when the fused constraint kernel
     # runs, it builds M from cinert and does its own M-solves in VMEM — the
     # XLA-side CRB and factorization would be dead code. RK4 models never
-    # read data.qM elsewhere; Euler models keep the XLA CRB for the
-    # implicit-damping update.
+    # read data.qM elsewhere; Euler models read it only for the implicit-
+    # damping solve, which the kernel also emits (plan.euler_dv) unless
+    # damping is traced (domain randomization).
     plan = _fused_plan(model, data)
     data = kinematics.kinematics(model, data)
     data = kinematics.com_pos(model, data)
     data = tendon.tendon(model, data)
-    if plan is None or model.opt.integrator != int(IntegratorType.RK4):
+    if plan is None or not (
+        model.opt.integrator == int(IntegratorType.RK4)
+        or getattr(plan, "euler_dv", False)
+    ):
         data = inertia.crb(model, data)
     data = coll_mod.collision(model, data)
     if plan is None:
@@ -211,6 +215,10 @@ def _euler(model: Model, data: Data) -> Data:
 
     if model.opt.disableflags & DisableBit.EULERDAMP:
         qvel = data.qvel + dt * data.qacc
+    elif data.euler_dv is not None:
+        # the fused constraint kernel already solved
+        # (M + dt diag(damping))^-1 (M qacc) against its VMEM-resident M
+        qvel = data.qvel + dt * data.euler_dv
     else:
         # implicit damping: qvel += dt * (M + dt*diag(damping))^-1 (M qacc).
         # With zero damping this reduces exactly to the explicit update, so

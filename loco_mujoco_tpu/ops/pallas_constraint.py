@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..core.types import ConeType, DisableBit, EqType, Model
+from ..core.types import ConeType, DisableBit, EqType, IntegratorType, Model
 from . import pallas_layout as play
 from . import pallas_newton as pn
 from .constraint import MINVAL, MINIMP, MAXIMP
@@ -271,6 +271,23 @@ class RowPlan:
                 i = j
         self.ell_runs = tuple(self.ell_runs)
 
+        # --- in-kernel Euler implicit damping ----------------------------
+        # Euler models (A1, H1, muscle humanoids) need qM only for the
+        # integrator's (M + h diag(damping))^-1 (M qacc) solve; the kernel
+        # already holds M in VMEM, so it emits that dv directly and the
+        # XLA CRB + factorization chain drops out of the step entirely.
+        # Traced damping (domain randomization) falls back to the XLA path
+        # for the damping solve (qM kept upstream).
+        self.euler_dv = False
+        self.dof_damping = None
+        if opt.integrator == int(IntegratorType.EULER) and not (
+            opt.disableflags & DisableBit.EULERDAMP
+        ):
+            dd = _conc(model.dof_damping)
+            if dd is not None:
+                self.dof_damping = [float(x) for x in dd]
+                self.euler_dv = True
+
         # --- uniform contact statics -------------------------------------
         # Every shipped robot collides against ONE static world plane with
         # identical pair solref/solimp/margin across all candidate pairs.
@@ -380,6 +397,22 @@ class RowPlan:
             s //= 2
         return s
 
+    def use_grouped(self, E):
+        """Layout choice, measured on v5e at 4096 envs: the 2D lanes
+        layout packs 8 ROWS per (8, 128) tile, so row-space ops (the bulk
+        of the pyramidal kernel) run at full sublane density — grouped
+        S=8 measured 99.1 ms/step vs 89.9 lanes on HumanoidTorque.run.
+        The elliptic kernel is dominated by per-env scalar chains (nv-
+        unrolled Cholesky, cone zones, rank-1 rows) and wins from env
+        grouping instead: A1 392.5 lanes -> 323.5 grouped S=2. Override
+        with LMT_FUSED_GROUPED=0/1."""
+        import os as _os
+
+        ov = _os.environ.get("LMT_FUSED_GROUPED")
+        if ov is not None:
+            return ov != "0" and self.pick_s(E) > 1
+        return self.elliptic and self.pick_s(E) > 1
+
     @property
     def nfric(self):
         """Friction components packed per slot (5 covers condim-6 elliptic
@@ -488,22 +521,29 @@ def _kbi_dyn(plan, sr, si, pos):
 # kernel builder
 # ---------------------------------------------------------------------------
 def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
-                       scale=None, tolerance=None):
+                       scale=None, tolerance=None, grouped=False):
     nv, ncon = plan.nv, plan.ncon
     ne, nfl, nl = plan.ne, plan.nfl, plan.nl
 
     nq = plan.nq
 
-    def kernel(vp_ref, ci_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref):
+    def kernel(vp_ref, ci_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
+               *extra_refs):
         # vp: packed per-env vectors (see _fused_batched):
         #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)
         #    armature(nv)]
-        # every ref block carries a unit group axis ahead of the (S, 128)
-        # env block (the group axis is leading in the HBM arrays so any
-        # power-of-two S lowers — see _fused_batched); drop it on read
+        # grouped layout: every ref block carries a unit group axis ahead
+        # of the (S, 128) env block (the group axis is leading in the HBM
+        # arrays so any power-of-two S lowers — see _fused_batched); drop
+        # it on read. Lanes layout: blocks are already (K..., BE).
         def rd(ref):
             v = ref[...]
-            return v.reshape(*v.shape[:-3], *v.shape[-2:])
+            if grouped:
+                return v.reshape(*v.shape[:-3], *v.shape[-2:])
+            return v
+
+        def wr(ref, v):
+            ref[...] = v[:, None] if grouped else v
 
         vp = rd(vp_ref)
         qpos = vp[0:nq]                      # (nq, BE)
@@ -905,8 +945,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
         )
 
-        x_ref[...] = x[:, None]
-        force_ref[...] = force[:, None]
+        wr(x_ref, x)
+        wr(force_ref, force)
         if pyr is not None:
             ffc0 = force[s0:s0 + ncon]
             ffc1 = force[s0 + ncon:s0 + 2 * ncon]
@@ -924,12 +964,27 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 if s0:
                     s = s + jnp.sum(J[v] * ftop, axis=0)
                 qfrc.append(s)
-            qfrc_ref[...] = jnp.stack(qfrc)[:, None]
+            wr(qfrc_ref, jnp.stack(qfrc))
         else:
-            qfrc_ref[...] = jnp.stack(
+            wr(qfrc_ref, jnp.stack(
                 [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
-            )[:, None]
-        asm_ref[...] = asm[:, None]
+            ))
+        wr(asm_ref, asm)
+
+        if plan.euler_dv:
+            # Euler implicit damping: dv = (M + h diag(damping))^-1 M x —
+            # reuses the VMEM-resident M so the integrator needs no qM
+            h = plan.timestep
+            mq = jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
+            mh = [
+                [
+                    M[a, b] + h * plan.dof_damping[a]
+                    if a == b else M[a, b]
+                    for b in range(nv)
+                ]
+                for a in range(nv)
+            ]
+            wr(extra_refs[0], pn.chol_solve_spd(mh, mq, nv))
 
     return kernel
 
@@ -937,18 +992,32 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
 def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
                    tolerance, qpos, qvel,
                    cdof, com, cinert, qfs, ws, arm, cargs):
-    """Batched entry: env-major inputs, grouped (S, 128) env blocks in the
-    kernel. cargs is the (E, ncon, pack_w) packed contact array (dummy when
-    ncon == 0)."""
+    """Batched entry: env-major inputs; the kernel consumes either the 2D
+    lanes layout (env axis in lanes, rows packed 8-per-tile in sublanes —
+    pyramidal models) or grouped (S, 128) env blocks (elliptic models; see
+    RowPlan.use_grouped for the measured tradeoff). cargs is the
+    (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
     E = qpos.shape[0]
     f32 = jnp.float32
-    S = plan.pick_s(E)
-    R = (((E + 127) // 128 + S - 1) // S) * S
-    G = R // S
+    grouped = plan.use_grouped(E)
+    if grouped:
+        S = plan.pick_s(E)
+        R = (((E + 127) // 128 + S - 1) // S) * S
+        G = R // S
+    else:
+        S = 1
+        G = (E + _BE - 1) // _BE
+        R = G
+    Ep = R * 128
 
-    def tl(x, k):  # (E, k) env-major -> (k, G, S, 128) grouped
-        g = play.to_grouped(x.astype(f32), r_pad=S)
-        return g.reshape(k, G, S, 128)
+    def tl(x, k):
+        if grouped:  # (E, k) env-major -> (k, G, S, 128) grouped
+            g = play.to_grouped(x.astype(f32), r_pad=S)
+            return g.reshape(k, G, S, 128)
+        x = play.moveaxis0_last(x.astype(f32))  # (k, E) env-last
+        if Ep != E:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
+        return x
 
     nv, nq, ncon = plan.nv, plan.nq, plan.ncon
     # pack the small per-env vectors into ONE wide array so the env-major ->
@@ -965,51 +1034,73 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
     )
     nvec = nq + nv + nv * 6 + 3 + nv + nv + nv
 
-    def spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (*dims, 1, S, 128),
-            lambda e: (0,) * nd + (e, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
+    if grouped:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, 1, S, 128),
+                lambda e: (0,) * nd + (e, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+    else:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, _BE),
+                lambda e: (0,) * nd + (e,),
+                memory_space=pltpu.VMEM,
+            )
 
-    ins = [tl(vec_pack, nvec),
-           tl(cinert.reshape(E, plan.nbody * 10), plan.nbody * 10).reshape(
-               plan.nbody, 10, G, S, 128)]
+    ins = [tl(vec_pack, nvec)]
+    ci_t = tl(cinert.reshape(E, plan.nbody * 10), plan.nbody * 10)
+    ins.append(ci_t.reshape(plan.nbody, 10, *ci_t.shape[1:]))
     specs = [spec(nvec), spec(plan.nbody, 10)]
     W = plan.pack_w
     if ncon:
         # cargs is packed (E, ncon, W) by fused_constraint
-        ins.append(tl(cargs.reshape(E, ncon * W), ncon * W).reshape(
-            ncon, W, G, S, 128))
+        cp_t = tl(cargs.reshape(E, ncon * W), ncon * W)
+        ins.append(cp_t.reshape(ncon, W, *cp_t.shape[1:]))
         specs.append(spec(ncon, W))
     else:
-        ins.append(jnp.zeros((1, W, G, S, 128), f32))
+        ins.append(jnp.zeros(
+            (1, W, G, S, 128) if grouped else (1, W, Ep), f32
+        ))
         specs.append(spec(1, W))
 
     kernel = _make_fused_kernel(plan, iterations, ls_iterations,
-                                scale=scale, tolerance=tolerance)
+                                scale=scale, tolerance=tolerance,
+                                grouped=grouped)
     row_spec = spec(plan.nrows)
     vec_spec = spec(nv)
-    x, force, qfrc, asm = pl.pallas_call(
+
+    def osh(k):
+        return jax.ShapeDtypeStruct(
+            (k, G, S, 128) if grouped else (k, Ep), f32
+        )
+
+    out_specs = [vec_spec, row_spec, vec_spec, vec_spec]
+    out_shape = [osh(nv), osh(plan.nrows), osh(nv), osh(nv)]
+    if plan.euler_dv:
+        out_specs.append(vec_spec)
+        out_shape.append(osh(nv))
+    outs = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=specs,
-        out_specs=[vec_spec, row_spec, vec_spec, vec_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
-            jax.ShapeDtypeStruct((plan.nrows, G, S, 128), f32),
-            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
-            jax.ShapeDtypeStruct((nv, G, S, 128), f32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=pn._INTERPRET,
         compiler_params=pn.vmem_params(),
     )(*ins)
 
-    def back(a):
-        return play.from_grouped(a.reshape(a.shape[0], R, 128), E)
+    if grouped:
+        def back(a):
+            return play.from_grouped(a.reshape(a.shape[0], R, 128), E)
+    else:
+        def back(a):
+            return play.moveaxis_last0(a)[:E]
 
-    return back(x), back(force), back(qfrc), back(asm)
+    return tuple(back(o) for o in outs)
 
 
 _FUSED_CACHE: dict = {}
@@ -1023,6 +1114,8 @@ def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int,
     hit = _FUSED_CACHE.get(key)
     if hit is not None:
         return hit
+
+    n_out = 5 if plan.euler_dv else 4
 
     def solve_b(*args):
         return _fused_batched(plan, iterations, ls_iterations, scale,
@@ -1040,7 +1133,7 @@ def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int,
             a if bt else jnp.broadcast_to(a, (axis_size,) + a.shape)
             for a, bt in zip(args, in_batched)
         ]
-        return solve_b(*args), (True, True, True, True)
+        return solve_b(*args), (True,) * n_out
 
     _FUSED_CACHE[key] = solve
     return solve
@@ -1098,11 +1191,13 @@ def fused_constraint(model: Model, data, plan: RowPlan):
         con_pack = jnp.zeros((1, plan.pack_w), dtype)
 
     com = data.subtree_com[plan.root]
-    x, force, qfrc, qacc_smooth = solver_fn(
+    outs = solver_fn(
         data.qpos, data.qvel, data.cdof, com, data.cinert,
         data.qfrc_smooth, data.qacc_warmstart,
         jnp.asarray(model.dof_armature, dtype), con_pack,
     )
+    x, force, qfrc, qacc_smooth = outs[:4]
+    euler_dv = outs[4].astype(dtype) if plan.euler_dv else None
 
     efc_force_contact = data.efc_force_contact
     if plan.ncon and efc_force_contact.shape[-1]:
@@ -1128,4 +1223,5 @@ def fused_constraint(model: Model, data, plan: RowPlan):
         qacc_smooth=qacc_smooth.astype(dtype),
         qfrc_constraint=qfrc.astype(dtype),
         efc_force_contact=efc_force_contact.astype(dtype),
+        euler_dv=euler_dv,
     )

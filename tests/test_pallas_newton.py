@@ -190,3 +190,34 @@ def test_plain_solver_shrunk_sublane_batch(humanoid_states, monkeypatch):
     for r, g, what in zip(ref, plain, ("qacc", "qfrc", "efc_fc")):
         err = float(jnp.max(jnp.abs(r - g)))
         assert err / scale < 5e-4, (what, err, scale)
+
+
+def test_fused_euler_damping_step_matches_xla(monkeypatch):
+    """Full fwd.step parity for an Euler model (A1): the fused kernel now
+    emits the implicit-damping dv = (M + h diag(damping))^-1 M qacc, so
+    the integrator must land on the XLA path's qpos/qvel without qM."""
+    env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(3), 4)
+    )
+    m = env.model
+    datas = st.data
+
+    def one_step(d):
+        d = fwd.step(m, d)
+        return d.qpos, d.qvel
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(one_step))(datas)
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.euler_dv
+    fused = jax.jit(jax.vmap(one_step))(datas)
+
+    for r, g, what in zip(ref, fused, ("qpos", "qvel")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)

@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+_COPTS = tpu_compiler_options()
 from loco_mujoco_tpu.ops import forward as fwd
 from loco_mujoco_tpu.ops import (
     actuation,
@@ -40,13 +43,13 @@ print(
 )
 
 keys = jax.random.split(jax.random.PRNGKey(0), N)
-states = jax.jit(jax.vmap(env.reset))(keys)
+states = jax.jit(jax.vmap(env.reset), compiler_options=_COPTS)(keys)
 data0 = states.data
 jax.block_until_ready(data0.qpos)
 
 
 def bench(name, fn, *args):
-    jfn = jax.jit(jax.vmap(lambda *a: fn(model, *a)))
+    jfn = jax.jit(jax.vmap(lambda *a: fn(model, *a)), compiler_options=_COPTS)
     t = time.time()
     out = jfn(*args)
     jax.block_until_ready(out)

@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+_COPTS = tpu_compiler_options()
 from loco_mujoco_tpu.ops import forward as fwd
 
 print("devices:", jax.devices(), flush=True)
@@ -24,8 +27,8 @@ print(
 
 
 def bench_step(n_envs, reps=20):
-    reset_fn = jax.jit(jax.vmap(env.reset))
-    step_fn = jax.jit(jax.vmap(env.step))
+    reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=_COPTS)
+    step_fn = jax.jit(jax.vmap(env.step), compiler_options=_COPTS)
     states = reset_fn(jax.random.split(jax.random.PRNGKey(0), n_envs))
     actions = jnp.zeros((n_envs, env.action_dim))
     t0 = time.time()
@@ -50,7 +53,7 @@ for n in (1024, 4096, 8192, 16384):
 
 # stage attribution at 4096 on the env's own model/data
 N = 4096
-reset_fn = jax.jit(jax.vmap(env.reset))
+reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=_COPTS)
 states = reset_fn(jax.random.split(jax.random.PRNGKey(0), N))
 datas = states.data
 

@@ -9,6 +9,9 @@ import jax
 import jax.numpy as jnp
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+_COPTS = tpu_compiler_options()
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 TASK = sys.argv[2] if len(sys.argv) > 2 else "HumanoidTorque.run.real"
@@ -17,8 +20,8 @@ t0 = time.time()
 print(f"devices: {jax.devices()}  ({time.time()-t0:.0f}s)", flush=True)
 
 env = lmt.make(TASK, debug=True)
-reset_fn = jax.jit(jax.vmap(env.reset))
-step_fn = jax.jit(jax.vmap(env.step))
+reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=_COPTS)
+step_fn = jax.jit(jax.vmap(env.step), compiler_options=_COPTS)
 
 t0 = time.time()
 states = reset_fn(jax.random.split(jax.random.PRNGKey(0), N))

@@ -15,6 +15,9 @@ import jax
 import jax.numpy as jnp
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
+
+_COPTS = tpu_compiler_options()
 
 N = int(os.environ.get("BENCH_N_ENVS", 4096))
 REPS = int(os.environ.get("BENCH_N_STEPS", 20))
@@ -29,8 +32,8 @@ for task in TASKS:
         try:
             t0 = time.time()
             env = lmt.make(task, debug=True)
-            reset_fn = jax.jit(jax.vmap(env.reset))
-            step_fn = jax.jit(jax.vmap(env.step))
+            reset_fn = jax.jit(jax.vmap(env.reset), compiler_options=_COPTS)
+            step_fn = jax.jit(jax.vmap(env.step), compiler_options=_COPTS)
             states = reset_fn(jax.random.split(jax.random.PRNGKey(0), N))
             actions = jnp.zeros((N, env.action_dim))
             states = step_fn(states, actions)
