@@ -50,6 +50,16 @@ class GymnasiumWrapper(gymnasium.Env):
     def unwrapped_env(self):
         return self._env
 
+    def __getattr__(self, name):
+        # attribute passthrough to the wrapped LocoEnv, matching the
+        # reference's mushroom-rl-backed wrapper where e.g.
+        # `gym.make(...).create_dataset()` / `play_trajectory()` /
+        # `get_kinematic_obs_mask()` resolve on the underlying env
+        # (reference examples/simple_gymnasium_env/example_unitree_h1.py)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._env, name)
+
     def reset(self, *, seed=None, options=None):
         if seed is not None:
             self._np_seed = seed

@@ -34,6 +34,12 @@ def enable_compilation_cache() -> None:
     """
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
+    # CPU-only runs (tests, oracle parity): the jaxlib CPU executable
+    # serializer is unreliable (segfaults after many large compiles, and
+    # cached artifacts are machine-feature-pinned), and CPU compiles are
+    # cheap anyway — only accelerator executables are worth persisting.
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return
     import jax
 
     if jax.config.jax_compilation_cache_dir is None:
