@@ -210,16 +210,23 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
     tbl = np.frombuffer(tbl_tuple[0], np.float32).reshape(tbl_tuple[1])
     P, R, V = tbl.shape
     E = b.shape[0]
-    BE = 256
-    # pairs per program scale inversely with hull size: the unrolled
-    # per-pair loop stack-allocates its (V, BE) maps, and a 3200-vertex
-    # hull at 16 pairs/program blows the VMEM limit (observed on G1).
-    # Budget ~1/4 of the raised per-kernel scoped limit (vmem_params) —
-    # Mosaic's live-range peak over the raw map bytes is ~3x.
+    # Env-block width: bigger blocks amortize per-program cost (grid
+    # launches + fallback-row writes: at BE=256 the humanoid's 75-pair
+    # group ran 80 programs/call x 40 forwards/step). Large hulls keep
+    # 256 — the live (V, BE) maps scale with BE and G1's 5376-vert bucket
+    # at BE=512 would hold ~38 MB of maps alone.
+    BE = 512 if V <= 2048 else 256
+    # Pairs per program: the per-pair loop's (V, BE) maps are live for ONE
+    # pair at a time (measured ~3.2 x V x BE x 4 bytes peak on G1), while
+    # each pair's static table stays resident — so tables scale with PB,
+    # maps don't.
     from . import pallas_newton as pn
 
-    budget = pn.vmem_params().vmem_limit_bytes // 4
-    PB = max(1, min(_PB, P, int(budget // ((R + 3 * BE) * V * 4 // 3))))
+    budget = int(pn.vmem_params().vmem_limit_bytes * 0.75)
+    maps = int(3.5 * V * BE * 4)
+    per_pair = R * V * 4
+    PB = max(1, min(_PB, P, (budget - maps) // per_pair if budget > maps
+                    else 1))
     Pp = ((P + PB - 1) // PB) * PB
     Ep = ((E + BE - 1) // BE) * BE
     at = jnp.moveaxis(a, 0, -1)  # (P, 3, E)
@@ -503,7 +510,8 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
     custom_vmap. `a`/`b`/tbl rows are in ORIGINAL pair order."""
     del inv  # tables are pre-reordered to bucket order by the caller
     P = len(pg1)
-    BE = 128
+    BE = 512  # VMEM is tiny here ((P+nused) x 12 x BE); wide blocks cut
+    # the program count 4x vs the original 128-lane blocks
     tblc = np.asarray(tbl, np.float32)[:, :, None]  # (P, 16, 1)
 
     # only the group's geoms' poses are needed — subset before the env-last

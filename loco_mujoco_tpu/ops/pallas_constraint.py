@@ -174,12 +174,13 @@ class RowPlan:
         self.nrows = self.ne + self.nfl + self.nl + self.ncrow
         if self.nrows == 0:
             return
-        if self.nrows > 448 and not self.elliptic:
-            # VMEM backstop: beyond the validated envelope (G1: 320 rows,
-            # nv=29 compiles and runs under the raised per-kernel scoped
-            # budget — vmem_params; the historical 280 cap dated from the
-            # 16 MiB default limit). The est gate below scales S down
-            # first; this cap only rejects pathological models.
+        if self.nrows > 280 and not self.elliptic:
+            # beyond ~280 rows the fused pyramidal kernel is impractical:
+            # G1 (320 rows, nv=29) hits a Mosaic shape-invariant-numerics
+            # lowering rejection (sublane-offset ADD-reduction) and, with
+            # LMT_SHAPE_INVARIANT=0, >25 min Mosaic compiles. Such models
+            # take the standalone Newton-solve kernel path instead
+            # (pallas_newton._solve_batched; G1: 303.5 ms/step at 4096).
             return
         if self.elliptic and (self.nrows > 320 or model.nv > 24):
             # hard cap alongside the estimate below: models past the

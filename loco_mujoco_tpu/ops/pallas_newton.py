@@ -82,7 +82,15 @@ def vmem_params():
     the budget as kernel CompilerParams frees callers from threading
     jit-level compiler options (plain `jax.jit(env.step)` works)."""
     budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
-    return pltpu.CompilerParams(vmem_limit_bytes=budget)
+    kw = {}
+    if os.environ.get("LMT_SHAPE_INVARIANT") == "0":
+        # Mosaic's shape-invariant-numerics mode rejects ADD-reductions
+        # over sublane-offset slices ("input layout must have zero
+        # offsets"), which G1's row-class boundaries produce in the fused
+        # kernel. Disabling it permits those lowerings; numerics may
+        # differ in padding-handling order (experimentally gated).
+        kw["shape_invariant_numerics"] = False
+    return pltpu.CompilerParams(vmem_limit_bytes=budget, **kw)
 
 
 def chol_solve_spd(M, rhs, nv, jitter=0.0):
