@@ -63,7 +63,12 @@ def fwd_position(model: Model, data: Data) -> Data:
     # damping is traced (domain randomization).
     plan = _fused_plan(model, data)
     data = kinematics.kinematics(model, data)
-    data = kinematics.com_pos(model, data)
+    if plan is None or not plan.smooth:
+        # plan.smooth: com/cinert/cdof are rebuilt inside the fused kernel
+        # from the FK outputs — XLA compiles these stages with T(1,128)
+        # tilings (1 sublane/tile) on Euler models, ~100 ms/step at 4096
+        # envs on H1
+        data = kinematics.com_pos(model, data)
     data = tendon.tendon(model, data)
     if plan is None or not (
         model.opt.integrator == int(IntegratorType.RK4)
@@ -78,6 +83,9 @@ def fwd_position(model: Model, data: Data) -> Data:
 
 @_exact_f32
 def fwd_velocity(model: Model, data: Data) -> Data:
+    plan = _fused_plan(model, data)
+    if plan is not None and plan.smooth:
+        return data  # com_vel/rne/passive run inside the fused kernel
     data = tendon.tendon_vel(model, data)
     data = velocity.com_vel(model, data)
     data = passive.passive(model, data)
@@ -87,11 +95,17 @@ def fwd_velocity(model: Model, data: Data) -> Data:
 
 @_exact_f32
 def fwd_actuation(model: Model, data: Data) -> Data:
+    plan = _fused_plan(model, data)
+    if plan is not None and plan.smooth:
+        return data  # motor actuation runs inside the fused kernel
     return act_mod.actuation(model, data)
 
 
 @_exact_f32
 def fwd_acceleration(model: Model, data: Data) -> Data:
+    plan = _fused_plan(model, data)
+    if plan is not None and plan.smooth:
+        return data  # qfrc_smooth assembled inside the fused kernel
     qfrc_smooth = (
         data.qfrc_passive
         - data.qfrc_bias
@@ -101,7 +115,7 @@ def fwd_acceleration(model: Model, data: Data) -> Data:
     # xfrc_applied is unused by the reference envs (no external pushes), but
     # supported for API parity: project body wrenches through cdof.
     qfrc_smooth = qfrc_smooth + _xfrc_projection(model, data)
-    if _fused_plan(model, data) is not None:
+    if plan is not None:
         # the fused constraint kernel computes qacc_smooth = M^-1 qfrc_smooth
         # in VMEM and writes it back to Data itself
         return data.replace(qfrc_smooth=qfrc_smooth)

@@ -526,6 +526,17 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
     def batched(a, b, gxp, gxm):
         E = b.shape[0]
         Ep = ((E + BE - 1) // BE) * BE
+
+        def fit(x):  # buckets pad envs to their own BE (512 or 256 for
+            # large hulls) — normalize to this kernel's Ep before concat
+            if x.shape[-1] > Ep:
+                return x[..., :Ep]
+            if x.shape[-1] < Ep:
+                return jnp.pad(
+                    x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - x.shape[-1])]
+                )
+            return x
+
         douts, souts = [], []
         off = 0
         for ids, tbl_t, marg, D in subs:
@@ -533,14 +544,11 @@ def make_group_topk(subs, inv, pg1, pg2, tbl, k):
                 tbl_t, a[:, off:off + len(ids)],
                 b[:, off:off + len(ids)], marg, D,
             )
-            douts.append(d)
-            souts.append(s)
+            douts.append(fit(d))
+            souts.append(fit(s))
             off += len(ids)
-        dist = jnp.concatenate(douts, axis=0)  # (P, 3, Ep')
+        dist = jnp.concatenate(douts, axis=0)  # (P, 3, Ep)
         vsel = jnp.concatenate(souts, axis=0)
-        if dist.shape[-1] != Ep:
-            dist = dist[..., :Ep]
-            vsel = vsel[..., :Ep]
 
         from . import pallas_layout as play
 

@@ -289,6 +289,18 @@ class RowPlan:
                 self.dof_damping = [float(x) for x in dd]
                 self.euler_dv = True
 
+        # --- in-kernel smooth stage --------------------------------------
+        # XLA compiles the com/cinert/cdof/RNE stages of torque-motor
+        # models with T(1,128) tilings (1 sublane per tile, 1/8 VPU rate;
+        # measured ~100 ms/step of the H1 Euler step at 4096 envs). With
+        # no tendons and no activation states the whole smooth stage is
+        # static-table scalar math the kernel runs from FK outputs.
+        self.smooth = False
+        try:
+            self._build_smooth(model, opt)
+        except Exception:
+            self.smooth = False
+
         # --- uniform contact statics -------------------------------------
         # Every shipped robot collides against ONE static world plane with
         # identical pair solref/solimp/margin across all candidate pairs.
@@ -304,6 +316,120 @@ class RowPlan:
             except Exception:
                 self.uniform = False
         self.ok = True
+
+    def _build_smooth(self, model: Model, opt):
+        """Static tables for the in-kernel smooth stage (com, cinert,
+        cdof, RNE bias, joint springs/dampers, motor actuation, xfrc
+        projection). Mirrors kinematics.com_pos + velocity.com_vel/rne +
+        passive.passive + actuation.actuation for models with no tendons,
+        no activation states, joint-transmission actuators and
+        fixed/affine gain/bias — the full torque-robot family. Leaves it
+        off (self.smooth False) on any unsupported feature or traced
+        (domain-randomized) leaf."""
+        from ..core.types import BiasType, DynType, GainType, JointType, TrnType
+
+        if model.ntendon or model.na:
+            return
+        # (no fluid-force gate needed: the engine models none — all robot
+        # XMLs have density = viscosity = 0; see ops/passive.py)
+        need = [
+            model.body_mass, model.body_inertia, model.jnt_type,
+            model.jnt_qposadr, model.jnt_dofadr, model.jnt_stiffness,
+            model.qpos_spring, model.dof_damping, model.dof_armature,
+            opt.gravity, model.body_jntadr, model.body_jntnum,
+            model.jnt_bodyid, model.dof_bodyid,
+        ]
+        vals = [_conc(x) for x in need]
+        if any(v is None for v in vals):
+            return
+        (mass, inertia, jtype, jqadr, jdadr, jstiff, qspring, damping,
+         armature, gravity, bjadr, bjnum, jbody, dbody) = vals
+
+        nu = model.nu
+        acts = []
+        if nu:
+            aneed = [
+                model.actuator_trntype, model.actuator_trnid,
+                model.actuator_gaintype, model.actuator_biastype,
+                model.actuator_dyntype, model.actuator_gear,
+                model.actuator_gainprm, model.actuator_biasprm,
+                model.actuator_ctrlrange, model.actuator_ctrllimited,
+                model.actuator_forcerange, model.actuator_forcelimited,
+            ]
+            avals = [_conc(x) for x in aneed]
+            if any(v is None for v in avals):
+                return
+            (trn, trnid, gt, bt, dyn, gear, gp, bp, cr, cl, fr, fl2) = avals
+            for u in range(nu):
+                if int(trn[u]) not in (
+                    int(TrnType.JOINT), int(TrnType.JOINTINPARENT)
+                ):
+                    return
+                if int(gt[u]) not in (int(GainType.FIXED),
+                                      int(GainType.AFFINE)):
+                    return
+                if int(bt[u]) not in (int(BiasType.NONE),
+                                      int(BiasType.AFFINE)):
+                    return
+                if int(dyn[u]) != int(DynType.NONE):
+                    return
+                j = int(trnid[u, 0])
+                acts.append(dict(
+                    q=int(jqadr[j]), v=int(jdadr[j]),
+                    gear=float(gear[u, 0]),
+                    gain=[float(x) for x in gp[u, :3]],
+                    g_affine=int(gt[u]) == int(GainType.AFFINE),
+                    bias=[float(x) for x in bp[u, :3]],
+                    b_affine=int(bt[u]) == int(BiasType.AFFINE),
+                    clo=float(cr[u, 0]) if cl[u] else None,
+                    chi=float(cr[u, 1]) if cl[u] else None,
+                    flo=float(fr[u, 0]) if fl2[u] else None,
+                    fhi=float(fr[u, 1]) if fl2[u] else None,
+                ))
+
+        nb, nv, njnt = model.nbody, model.nv, model.njnt
+        self.sm_mass = [float(m) for m in mass]
+        self.sm_inertia = [[float(x) for x in inertia[b]] for b in range(nb)]
+        self.sm_mtot = max(float(np.sum(mass[1:])), MINVAL)
+        # per body, joints in order; each hinge/slide joint owns one dof
+        self.sm_body_joints = [
+            [
+                dict(
+                    j=j, d=int(jdadr[j]), q=int(jqadr[j]),
+                    hinge=int(jtype[j]) == int(JointType.HINGE),
+                )
+                for j in range(int(bjadr[b]), int(bjadr[b]) + int(bjnum[b]))
+            ]
+            for b in range(nb)
+        ]
+        # forward traversal must see parents first
+        order, seen = [], {0}
+        pending = list(range(1, nb))
+        while pending:
+            for b in list(pending):
+                if self.body_parent[b] in seen:
+                    order.append(b)
+                    seen.add(b)
+                    pending.remove(b)
+        self.sm_topo_fwd = order
+        self.sm_jnt_spring = [
+            dict(q=int(jqadr[j]), d=int(jdadr[j]), k=float(jstiff[j]),
+                 ref=float(qspring[int(jqadr[j])]))
+            for j in range(njnt) if float(jstiff[j]) != 0.0
+        ]
+        self.sm_damping = [float(x) for x in damping]
+        self.sm_armature = [float(x) for x in armature]
+        g = np.asarray(gravity, dtype=np.float64)
+        if opt.disableflags & DisableBit.GRAVITY:
+            g = np.zeros(3)
+        self.sm_gravity = [float(x) for x in g]
+        self.sm_acts = acts
+        self.sm_njnt = njnt
+        self.sm_nu = nu
+        self.sm_passive_on = not (opt.disableflags & DisableBit.PASSIVE)
+        self.sm_actuation_on = not (opt.disableflags & DisableBit.ACTUATION)
+        self.sm_clampctrl = not (opt.disableflags & DisableBit.CLAMPCTRL)
+        self.smooth = True
 
     def _check_uniform(self, model: Model):
         from .collision import contact_groups
@@ -519,6 +645,242 @@ def _kbi_dyn(plan, sr, si, pos):
 
 
 # ---------------------------------------------------------------------------
+# in-kernel smooth stage (plan.smooth): com + cinert + cdof + RNE bias +
+# passive + motor actuation + xfrc projection, all static-table scalar math
+# on (BE,)/(S,128) env blocks. Mirrors kinematics.com_pos,
+# velocity.com_vel/rne, passive.passive, actuation.actuation and
+# forward._xfrc_projection exactly (those stay the XLA/CPU reference).
+# ---------------------------------------------------------------------------
+def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
+    nq, nv, nb, njnt, nu = (
+        plan.nq, plan.nv, plan.nbody, plan.sm_njnt, plan.sm_nu
+    )
+    o_xip = nq + nv
+    o_xim = o_xip + 3 * nb
+    o_anc = o_xim + 9 * nb
+    o_ax = o_anc + 3 * njnt
+    o_ctrl = o_ax + 3 * njnt
+    o_app = o_ctrl + nu
+    o_xfrc = o_app + nv
+    o_ws = o_xfrc + 6 * nb
+
+    def xip(b, k):
+        return vp[o_xip + 3 * b + k]
+
+    def xim(b, i, j):
+        return vp[o_xim + 9 * b + 3 * i + j]
+
+    def anch(j, k):
+        return vp[o_anc + 3 * j + k]
+
+    def jaxis(j, k):
+        return vp[o_ax + 3 * j + k]
+
+    def cross(a, b):
+        return (
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        )
+
+    # --- root-subtree com (kinematics.com_pos; single tree: all real
+    # bodies are in the root's subtree) ---
+    inv_m = 1.0 / plan.sm_mtot
+    com_l = []
+    for k in range(3):
+        s = zero
+        for b in range(1, nb):
+            m = plan.sm_mass[b]
+            if m:
+                s = s + m * xip(b, k)
+        com_l.append(s * inv_m)
+
+    # --- cinert: inertia about com, world axes (kinematics.iw) ---
+    ci_list = []
+    for b in range(nb):
+        m = plan.sm_mass[b]
+        Id = plan.sm_inertia[b]
+        c = [xip(b, k) - com_l[k] for k in range(3)]
+        c2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+
+        def iw(i, k, b=b, Id=Id, m=m, c=c, c2=c2):
+            v = (
+                xim(b, i, 0) * Id[0] * xim(b, k, 0)
+                + xim(b, i, 1) * Id[1] * xim(b, k, 1)
+                + xim(b, i, 2) * Id[2] * xim(b, k, 2)
+            )
+            shift = m * ((c2 if i == k else 0.0) - c[i] * c[k])
+            return v + shift
+
+        ci_list.append(jnp.stack([
+            iw(0, 0), iw(1, 1), iw(2, 2), iw(0, 1), iw(0, 2), iw(1, 2),
+            m * c[0], m * c[1], m * c[2], zero + m,
+        ]))
+
+    # --- cdof (kinematics.com_pos: hinge ang=axis, lin=axis x (com -
+    # anchor); slide ang=0, lin=axis) ---
+    dof_of = [None] * nv
+    for b in range(nb):
+        for jd in plan.sm_body_joints[b]:
+            dof_of[jd["d"]] = jd
+    cdof_tab = []
+    for d in range(nv):
+        jd = dof_of[d]
+        j = jd["j"]
+        ax = (jaxis(j, 0), jaxis(j, 1), jaxis(j, 2))
+        if jd["hinge"]:
+            off = tuple(com_l[k] - anch(j, k) for k in range(3))
+            lin = cross(ax, off)
+            cdof_tab.append([ax[0], ax[1], ax[2], lin[0], lin[1], lin[2]])
+        else:
+            cdof_tab.append([zero, zero, zero, ax[0], ax[1], ax[2]])
+
+    # --- com_vel: cvel accumulation + cdof_dot = v_before x cdof
+    # (velocity.com_vel: strict-ancestor velocity, in-body dof order) ---
+    cvel = [None] * nb
+    cvel[0] = [zero] * 6
+    cdof_dot = [None] * nv
+    for b in plan.sm_topo_fwd:
+        v6 = list(cvel[plan.body_parent[b]])
+        for jd in plan.sm_body_joints[b]:
+            d = jd["d"]
+            u = cdof_tab[d]
+            ang = cross(v6[0:3], u[0:3])
+            lin1 = cross(v6[0:3], u[3:6])
+            lin2 = cross(v6[3:6], u[0:3])
+            cdof_dot[d] = [
+                ang[0], ang[1], ang[2],
+                lin1[0] + lin2[0], lin1[1] + lin2[1], lin1[2] + lin2[2],
+            ]
+            qd = qvel[d]
+            for i in range(6):
+                v6[i] = v6[i] + u[i] * qd
+        cvel[b] = v6
+
+    # --- rne with zero acceleration (velocity.rne): bias force ---
+    grav6 = [0.0, 0.0, 0.0] + [-g for g in plan.sm_gravity]
+    cacc = [None] * nb
+    cacc[0] = grav6
+    for b in plan.sm_topo_fwd:
+        a6 = list(cacc[plan.body_parent[b]])
+        for jd in plan.sm_body_joints[b]:
+            d = jd["d"]
+            qd = qvel[d]
+            for i in range(6):
+                a6[i] = a6[i] + cdof_dot[d][i] * qd
+        cacc[b] = a6
+
+    def inert_mul(ci, v6):
+        w = v6[0:3]
+        vl = v6[3:6]
+        iw0 = ci[0] * w[0] + ci[3] * w[1] + ci[4] * w[2]
+        iw1 = ci[3] * w[0] + ci[1] * w[1] + ci[5] * w[2]
+        iw2 = ci[4] * w[0] + ci[5] * w[1] + ci[2] * w[2]
+        mc = (ci[6], ci[7], ci[8])
+        m = ci[9]
+        cxl = cross(mc, vl)
+        cxw = cross(mc, w)
+        return [
+            iw0 + cxl[0], iw1 + cxl[1], iw2 + cxl[2],
+            m * vl[0] - cxw[0], m * vl[1] - cxw[1], m * vl[2] - cxw[2],
+        ]
+
+    cfrc = []
+    for b in range(nb):
+        ia = inert_mul(ci_list[b], cacc[b])
+        iv = inert_mul(ci_list[b], cvel[b])
+        w = cvel[b][0:3]
+        vl = cvel[b][3:6]
+        ang1 = cross(w, iv[0:3])
+        ang2 = cross(vl, iv[3:6])
+        lin = cross(w, iv[3:6])
+        cfrc.append([
+            ia[0] + ang1[0] + ang2[0],
+            ia[1] + ang1[1] + ang2[1],
+            ia[2] + ang1[2] + ang2[2],
+            ia[3] + lin[0], ia[4] + lin[1], ia[5] + lin[2],
+        ])
+    ctot = [list(f) for f in cfrc]
+    for b in plan.topo_rev:  # subtree sums, children into parents
+        p = plan.body_parent[b]
+        for i in range(6):
+            ctot[p][i] = ctot[p][i] + ctot[b][i]
+    qbias = []
+    for d in range(nv):
+        f6 = ctot[plan.dof_bodyid[d]]
+        s = cdof_tab[d][0] * f6[0]
+        for i in range(1, 6):
+            s = s + cdof_tab[d][i] * f6[i]
+        qbias.append(s)
+
+    # --- passive: joint springs + dof dampers (passive.passive) ---
+    if plan.sm_passive_on:
+        qpass = [-plan.sm_damping[d] * qvel[d] if plan.sm_damping[d]
+                 else zero for d in range(nv)]
+        for sp in plan.sm_jnt_spring:
+            qpass[sp["d"]] = qpass[sp["d"]] - sp["k"] * (
+                qpos[sp["q"]] - sp["ref"]
+            )
+    else:
+        qpass = [zero] * nv
+
+    # --- actuation: joint-transmission motors, fixed/affine gain/bias
+    # (actuation.actuation with dyntype NONE) ---
+    qact = [zero] * nv
+    if plan.sm_actuation_on:
+        for iu, a in enumerate(plan.sm_acts):
+            c = vp[o_ctrl + iu]
+            if plan.sm_clampctrl and a["clo"] is not None:
+                c = jnp.clip(c, a["clo"], a["chi"])
+            gain = a["gain"][0]
+            bias = 0.0
+            if a["g_affine"] or a["b_affine"]:
+                ln = qpos[a["q"]] * a["gear"]
+                vel = qvel[a["v"]] * a["gear"]
+                if a["g_affine"]:
+                    gain = gain + a["gain"][1] * ln + a["gain"][2] * vel
+                if a["b_affine"]:
+                    bias = a["bias"][0] + a["bias"][1] * ln \
+                        + a["bias"][2] * vel
+            f = gain * c + bias
+            if a["flo"] is not None:
+                f = jnp.clip(f, a["flo"], a["fhi"])
+            qact[a["v"]] = qact[a["v"]] + a["gear"] * f
+
+    # --- xfrc projection (forward._xfrc_projection) ---
+    qx = [zero] * nv
+    for b in range(1, nb):
+        if not plan.dofmask[b].any():
+            continue
+        frc = (vp[o_xfrc + 6 * b], vp[o_xfrc + 6 * b + 1],
+               vp[o_xfrc + 6 * b + 2])
+        trq = (vp[o_xfrc + 6 * b + 3], vp[o_xfrc + 6 * b + 4],
+               vp[o_xfrc + 6 * b + 5])
+        off = tuple(xip(b, k) - com_l[k] for k in range(3))
+        oxf = cross(off, frc)
+        te = (trq[0] + oxf[0], trq[1] + oxf[1], trq[2] + oxf[2])
+        for d in range(nv):
+            if not plan.dofmask[b, d]:
+                continue
+            u = cdof_tab[d]
+            qx[d] = qx[d] + (
+                u[0] * te[0] + u[1] * te[1] + u[2] * te[2]
+                + u[3] * frc[0] + u[4] * frc[1] + u[5] * frc[2]
+            )
+
+    qfs_vec = jnp.stack([
+        qpass[d] - qbias[d] + qact[d] + vp[o_app + d] + qx[d]
+        for d in range(nv)
+    ])
+    ws_vec = vp[o_ws:o_ws + nv]
+
+    def arm_at(a):
+        return plan.sm_armature[a]
+
+    return cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at
+
+
+# ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
 def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
@@ -528,11 +890,14 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
 
     nq = plan.nq
 
-    def kernel(vp_ref, ci_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
+    def kernel(vp_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
                *extra_refs):
-        # vp: packed per-env vectors (see _fused_batched):
-        #   [qpos(nq) qvel(nv) cdof(nv*6) com(3) qfrc_smooth(nv) ws(nv)
-        #    armature(nv)]
+        # vp: ONE packed per-env vector (see fused_constraint):
+        #   non-smooth: [qpos qvel cdof(nv*6) com(3) cinert(nbody*10)
+        #                qfrc_smooth(nv) ws(nv) armature(nv)]
+        #   smooth:     [qpos qvel xipos(nbody*3) ximat(nbody*9)
+        #                xanchor(njnt*3) xaxis(njnt*3) ctrl(nu)
+        #                qfrc_applied(nv) xfrc(nbody*6) ws(nv)]
         # grouped layout: every ref block carries a unit group axis ahead
         # of the (S, 128) env block (the group axis is leading in the HBM
         # arrays so any power-of-two S lowers — see _fused_batched); drop
@@ -549,20 +914,38 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         vp = rd(vp_ref)
         qpos = vp[0:nq]                      # (nq, BE)
         qvel = vp[nq:nq + nv]                # (nv, BE)
-        o_cd = nq + nv
-        o_com = o_cd + nv * 6
-        com = vp[o_com:o_com + 3]            # (3, BE)
-        o_qfs = o_com + 3
-        o_ws = o_qfs + nv
-        o_arm = o_ws + nv
+        nb = plan.nbody
+        zero_env = qpos[0] * 0.0
 
-        def cdof(v, i):  # (BE,)
-            return vp[o_cd + v * 6 + i]
+        if plan.smooth:
+            (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
+                _smooth_preamble(plan, vp, qpos, qvel, zero_env)
+            )
+
+            def cdof(v, i):
+                return cdof_tab[v][i]
+        else:
+            o_cd = nq + nv
+            o_com = o_cd + nv * 6
+            o_ci = o_com + 3
+            o_qfs = o_ci + nb * 10
+            o_ws = o_qfs + nv
+            o_arm = o_ws + nv
+            com_l = [vp[o_com + i] for i in range(3)]
+            ci_list = [vp[o_ci + 10 * b:o_ci + 10 * b + 10]
+                       for b in range(nb)]
+            qfs_vec = vp[o_qfs:o_qfs + nv]
+            ws_vec = vp[o_ws:o_ws + nv]
+
+            def cdof(v, i):  # (BE,)
+                return vp[o_cd + v * 6 + i]
+
+            def arm_at(a):
+                return vp[o_arm + a]
 
         # --- composite rigid body: build M from cinert in VMEM (the XLA
         # crb einsums + the dense qM relayout cost ~20 ms/step) ---
-        ci = rd(ci_ref)  # (nbody, 10, S, 128)
-        crb = [ci[b] for b in range(plan.nbody)]  # (10, BE) each
+        crb = list(ci_list)  # (10, BE) each
         for b in plan.topo_rev:  # children accumulate into parents
             p = plan.body_parent[b]
             crb[p] = crb[p] + crb[b]
@@ -585,7 +968,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 m * l2 - (mc0 * w1 - mc1 * w0),
             ])
 
-        zero_be = qpos[0] * 0.0
+        zero_be = zero_env
         Mll = [[None] * nv for _ in range(nv)]
         for a in range(nv):
             for b2 in range(a + 1):
@@ -596,7 +979,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 else:
                     s = zero_be
                 if a == b2:
-                    s = s + vp[o_arm + a]
+                    s = s + arm_at(a)
                 Mll[a][b2] = s
                 Mll[b2][a] = s
         M = jnp.stack([jnp.stack(r) for r in Mll])  # (nv, nv, BE)
@@ -605,8 +988,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # than upstream: it keeps the unrolled Cholesky chain (the only
         # consumer of qLD on this path) out of the XLA graph entirely
         # (~28 ms/step of small-op kernels at 4096 envs)
-        asm = pn.chol_solve_spd(M, vp[o_qfs:o_qfs + nv], plan.nv)
-        ws = vp[o_ws:o_ws + nv]
+        asm = pn.chol_solve_spd(M, qfs_vec, plan.nv)
+        ws = ws_vec
         eshape = qpos.shape[1:]  # trailing env block: (BE,) or (S, 128)
         f32 = qpos.dtype
 
@@ -740,9 +1123,9 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                             bid1 == float(bb)
                         ).astype(f32)
 
-            offx = cpos[:, 0, :] - com[0][None]
-            offy = cpos[:, 1, :] - com[1][None]
-            offz = cpos[:, 2, :] - com[2][None]
+            offx = cpos[:, 0, :] - com_l[0][None]
+            offy = cpos[:, 1, :] - com_l[1][None]
+            offz = cpos[:, 2, :] - com_l[2][None]
 
             jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
             maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
@@ -991,14 +1374,16 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
 
 
 def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
-                   tolerance, qpos, qvel,
-                   cdof, com, cinert, qfs, ws, arm, cargs):
+                   tolerance, vec, cargs):
     """Batched entry: env-major inputs; the kernel consumes either the 2D
     lanes layout (env axis in lanes, rows packed 8-per-tile in sublanes —
     pyramidal models) or grouped (S, 128) env blocks (elliptic models; see
-    RowPlan.use_grouped for the measured tradeoff). cargs is the
-    (E, ncon, pack_w) packed contact array (dummy when ncon == 0)."""
-    E = qpos.shape[0]
+    RowPlan.use_grouped for the measured tradeoff). `vec` is the (E, nvec)
+    packed per-env vector (fused_constraint concatenates all small inputs
+    so the env-major -> kernel relayout is ONE well-shaped tiled
+    transpose); cargs is the (E, ncon, pack_w) packed contact array (dummy
+    when ncon == 0)."""
+    E = vec.shape[0]
     f32 = jnp.float32
     grouped = plan.use_grouped(E)
     if grouped:
@@ -1020,20 +1405,8 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
         return x
 
-    nv, nq, ncon = plan.nv, plan.nq, plan.ncon
-    # pack the small per-env vectors into ONE wide array so the env-major ->
-    # grouped relayout is a single well-shaped tiled transpose (individual
-    # K<128 transposes fall back to XLA's ~9 GB/s copy loops and cost more
-    # than the whole kernel)
-    vec_pack = jnp.concatenate(
-        [
-            qpos.astype(f32), qvel.astype(f32),
-            cdof.reshape(E, nv * 6).astype(f32), com.astype(f32),
-            qfs.astype(f32), ws.astype(f32), arm.astype(f32),
-        ],
-        axis=-1,
-    )
-    nvec = nq + nv + nv * 6 + 3 + nv + nv + nv
+    nv, ncon = plan.nv, plan.ncon
+    nvec = vec.shape[1]
 
     if grouped:
         def spec(*dims):
@@ -1052,10 +1425,8 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
                 memory_space=pltpu.VMEM,
             )
 
-    ins = [tl(vec_pack, nvec)]
-    ci_t = tl(cinert.reshape(E, plan.nbody * 10), plan.nbody * 10)
-    ins.append(ci_t.reshape(plan.nbody, 10, *ci_t.shape[1:]))
-    specs = [spec(nvec), spec(plan.nbody, 10)]
+    ins = [tl(vec.astype(f32), nvec)]
+    specs = [spec(nvec)]
     W = plan.pack_w
     if ncon:
         # cargs is packed (E, ncon, W) by fused_constraint
@@ -1118,14 +1489,13 @@ def get_fused_solver(plan: RowPlan, iterations: int, ls_iterations: int,
 
     n_out = 5 if plan.euler_dv else 4
 
-    def solve_b(*args):
+    def solve_b(vec, cargs):
         return _fused_batched(plan, iterations, ls_iterations, scale,
-                              tolerance,
-                              *args[:8], args[8])
+                              tolerance, vec, cargs)
 
     @jax.custom_batching.custom_vmap
-    def solve(*args):
-        out = solve_b(*(a[None] for a in args))
+    def solve(vec, cargs):
+        out = solve_b(vec[None], cargs[None])
         return tuple(o[0] for o in out)
 
     @solve.def_vmap
@@ -1191,12 +1561,24 @@ def fused_constraint(model: Model, data, plan: RowPlan):
     else:
         con_pack = jnp.zeros((1, plan.pack_w), dtype)
 
-    com = data.subtree_com[plan.root]
-    outs = solver_fn(
-        data.qpos, data.qvel, data.cdof, com, data.cinert,
-        data.qfrc_smooth, data.qacc_warmstart,
-        jnp.asarray(model.dof_armature, dtype), con_pack,
-    )
+    # ONE packed per-env vector (layouts documented in _make_fused_kernel)
+    if plan.smooth:
+        vec = jnp.concatenate([
+            data.qpos, data.qvel,
+            data.xipos.reshape(-1), data.ximat.reshape(-1),
+            data.xanchor.reshape(-1), data.xaxis.reshape(-1),
+            data.ctrl, data.qfrc_applied, data.xfrc_applied.reshape(-1),
+            data.qacc_warmstart,
+        ]).astype(dtype)
+    else:
+        com = data.subtree_com[plan.root]
+        vec = jnp.concatenate([
+            data.qpos, data.qvel, data.cdof.reshape(-1), com,
+            data.cinert.reshape(-1), data.qfrc_smooth,
+            data.qacc_warmstart,
+            jnp.asarray(model.dof_armature, dtype),
+        ]).astype(dtype)
+    outs = solver_fn(vec, con_pack)
     x, force, qfrc, qacc_smooth = outs[:4]
     euler_dv = outs[4].astype(dtype) if plan.euler_dv else None
 
