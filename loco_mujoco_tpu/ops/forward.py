@@ -194,6 +194,20 @@ def fwd_constraint(model: Model, data: Data) -> Data:
 
 @_exact_f32
 def forward(model: Model, data: Data) -> Data:
+    # mega fast path: FK + collision + smooth + assembly + Newton as ONE
+    # Pallas program per forward — the staged XLA pipeline below remains
+    # the reference implementation (and the path every stage test runs).
+    # Position/velocity-stage Data fields stay stale on this path; see
+    # pallas_constraint.mega_forward.
+    plan = _fused_plan(model, data)
+    if (
+        plan is not None
+        and getattr(plan, "mega", False)
+        and os.environ.get("LMT_MEGA", "1") != "0"
+    ):
+        from . import pallas_constraint as pc
+
+        return pc.mega_forward(model, data, plan)
     data = fwd_position(model, data)
     data = fwd_velocity(model, data)
     data = fwd_actuation(model, data)

@@ -156,18 +156,22 @@ def _make_kernel(D):
                     cnt = zero
                     d1 = d2 = big
                     v1x = v1y = v1z = v2x = v2y = v2z = zero
+                    # select, not accumulate-toward: d1 + t1*(hc - d1)
+                    # cancels catastrophically in f32 when d1 = _BIG
+                    # (hc - 1e10 rounds to -1e10 exactly), silently
+                    # zeroing every neighbor slot depth
                     for dc in range(D):
                         qd = qf[dc][None]  # (1, BE)
-                        t1 = qd * (cnt == 0.0).astype(f32)
-                        t2 = qd * (cnt == 1.0).astype(f32)
-                        d1 = d1 + t1 * (hc[dc][None] - d1)
-                        v1x = v1x + t1 * (cx[dc][None] - v1x)
-                        v1y = v1y + t1 * (cy[dc][None] - v1y)
-                        v1z = v1z + t1 * (cz[dc][None] - v1z)
-                        d2 = d2 + t2 * (hc[dc][None] - d2)
-                        v2x = v2x + t2 * (cx[dc][None] - v2x)
-                        v2y = v2y + t2 * (cy[dc][None] - v2y)
-                        v2z = v2z + t2 * (cz[dc][None] - v2z)
+                        t1 = (qd * (cnt == 0.0)) > 0
+                        t2 = (qd * (cnt == 1.0)) > 0
+                        d1 = jnp.where(t1, hc[dc][None], d1)
+                        v1x = jnp.where(t1, cx[dc][None], v1x)
+                        v1y = jnp.where(t1, cy[dc][None], v1y)
+                        v1z = jnp.where(t1, cz[dc][None], v1z)
+                        d2 = jnp.where(t2, hc[dc][None], d2)
+                        v2x = jnp.where(t2, cx[dc][None], v2x)
+                        v2y = jnp.where(t2, cy[dc][None], v2y)
+                        v2z = jnp.where(t2, cz[dc][None], v2z)
                         cnt = cnt + qd
 
                     dist_ref[p, 1, :] = d1[0]

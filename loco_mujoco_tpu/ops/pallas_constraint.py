@@ -315,6 +315,38 @@ class RowPlan:
                 self._check_uniform(model)
             except Exception:
                 self.uniform = False
+
+        # --- mega: FK + collision in kernel -------------------------------
+        # One Pallas program runs the ENTIRE forward: FK -> plane-box +
+        # plane-mesh collision -> smooth stage -> assembly -> Newton. The
+        # only per-forward XLA work left is the integrator update. Gated on
+        # the smooth+uniform envelope plus static FK/collision tables
+        # (pallas_fk.FkPlan/ColPlan raise on anything unsupported).
+        self.mega = False
+        if (self.smooth and self.uniform and self.fric_uniform
+                and not self.elliptic and self.ncon):
+            try:
+                from . import pallas_fk as pfk
+
+                self.fkp = pfk.FkPlan(model, _conc)
+                self.colp = pfk.ColPlan(model, _conc)
+                if self.colp.ncon != self.ncon:
+                    raise ValueError("slot count mismatch")
+                # the mega kernel keeps EVERY bucket table VMEM-resident
+                # (the standalone select kernel pipelines pairs-per-program
+                # instead); high-degree hulls (H1 feet: D=98, V=1020) can
+                # exceed the budget — fall back to the staged path there
+                tbl_bytes = sum(
+                    int(np.prod(s[1][1])) * 4
+                    for grp in self.colp.groups if grp["kind"] == "mesh"
+                    for s in grp["subs"]
+                )
+                if tbl_bytes > 24 * 1024 * 1024:
+                    raise ValueError("mesh tables exceed mega VMEM budget")
+                self.mega_tbl_bytes = tbl_bytes
+                self.mega = True
+            except Exception:
+                self.mega = False
         self.ok = True
 
     def _build_smooth(self, model: Model, opt):
@@ -466,6 +498,7 @@ class RowPlan:
         self.c_margin = float(marg[0] - gap[0])
         self.fric_uniform = bool(np.all(fric[:, :2] == fric[0, :2]))
         self.c_fric = [float(fric[0, 0]), float(fric[0, 1])]
+        self.c_fric5 = [float(x) for x in fric[0]]
         # static world-frame plane normal -> static contact frame. Pure
         # numpy: this runs inside an active jit trace (the plan is built on
         # first forward), where launching eager jnp ops is not allowed.
@@ -651,30 +684,111 @@ def _kbi_dyn(plan, sr, si, pos):
 # velocity.com_vel/rne, passive.passive, actuation.actuation and
 # forward._xfrc_projection exactly (those stay the XLA/CPU reference).
 # ---------------------------------------------------------------------------
-def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
-    nq, nv, nb, njnt, nu = (
-        plan.nq, plan.nv, plan.nbody, plan.sm_njnt, plan.sm_nu
+class _VpAcc:
+    """FK-product accessors over the packed per-env vector (the smooth
+    layout documented in _make_fused_kernel). The mega path provides the
+    same interface from in-kernel FK results instead (_MegaAcc)."""
+
+    def __init__(self, plan, vp):
+        nq, nv, nb, njnt, nu = (
+            plan.nq, plan.nv, plan.nbody, plan.sm_njnt, plan.sm_nu
+        )
+        self.vp = vp
+        self.o_xip = nq + nv
+        self.o_xim = self.o_xip + 3 * nb
+        self.o_anc = self.o_xim + 9 * nb
+        self.o_ax = self.o_anc + 3 * njnt
+        self.o_ctrl = self.o_ax + 3 * njnt
+        self.o_app = self.o_ctrl + nu
+        self.o_xfrc = self.o_app + nv
+        self.o_ws = self.o_xfrc + 6 * nb
+        self.nv = nv
+
+    def xip(self, b, k):
+        return self.vp[self.o_xip + 3 * b + k]
+
+    def xim(self, b, i, j):
+        return self.vp[self.o_xim + 9 * b + 3 * i + j]
+
+    def anch(self, j, k):
+        return self.vp[self.o_anc + 3 * j + k]
+
+    def jaxis(self, j, k):
+        return self.vp[self.o_ax + 3 * j + k]
+
+    def ctrl(self, u):
+        return self.vp[self.o_ctrl + u]
+
+    def app(self, d):
+        return self.vp[self.o_app + d]
+
+    def xfrc(self, b, i):
+        return self.vp[self.o_xfrc + 6 * b + i]
+
+    def ws_vec(self):
+        return self.vp[self.o_ws:self.o_ws + self.nv]
+
+
+class _MegaAcc:
+    """Accessors for the mega path: FK products from in-kernel FK
+    (pallas_fk.fk_env_block), the rest from the small packed vector
+    [qpos qvel ctrl qfrc_applied xfrc ws]."""
+
+    def __init__(self, plan, vp, fk, zero):
+        from . import pallas_fk as pfk
+
+        nq, nv, nb, nu = plan.nq, plan.nv, plan.nbody, plan.sm_nu
+        self.vp = vp
+        self.fk = fk
+        self._mat = pfk.materialize
+        self._zero = zero
+        self.o_ctrl = nq + nv
+        self.o_app = self.o_ctrl + nu
+        self.o_xfrc = self.o_app + nv
+        self.o_ws = self.o_xfrc + 6 * nb
+        self.nv = nv
+
+    def xip(self, b, k):
+        return self._mat(self.fk.xipos[b][k], self._zero)
+
+    def xim(self, b, i, j):
+        return self._mat(self.fk.ximat[b][i][j], self._zero)
+
+    def anch(self, j, k):
+        return self._mat(self.fk.xanchor[j][k], self._zero)
+
+    def jaxis(self, j, k):
+        return self._mat(self.fk.xaxis[j][k], self._zero)
+
+    def ctrl(self, u):
+        return self.vp[self.o_ctrl + u]
+
+    def app(self, d):
+        return self.vp[self.o_app + d]
+
+    def xfrc(self, b, i):
+        return self.vp[self.o_xfrc + 6 * b + i]
+
+    def ws_vec(self):
+        return self.vp[self.o_ws:self.o_ws + self.nv]
+
+
+def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero):
+    nv, nb, njnt, nu = (
+        plan.nv, plan.nbody, plan.sm_njnt, plan.sm_nu
     )
-    o_xip = nq + nv
-    o_xim = o_xip + 3 * nb
-    o_anc = o_xim + 9 * nb
-    o_ax = o_anc + 3 * njnt
-    o_ctrl = o_ax + 3 * njnt
-    o_app = o_ctrl + nu
-    o_xfrc = o_app + nv
-    o_ws = o_xfrc + 6 * nb
 
     def xip(b, k):
-        return vp[o_xip + 3 * b + k]
+        return acc.xip(b, k)
 
     def xim(b, i, j):
-        return vp[o_xim + 9 * b + 3 * i + j]
+        return acc.xim(b, i, j)
 
     def anch(j, k):
-        return vp[o_anc + 3 * j + k]
+        return acc.anch(j, k)
 
     def jaxis(j, k):
-        return vp[o_ax + 3 * j + k]
+        return acc.jaxis(j, k)
 
     def cross(a, b):
         return (
@@ -704,17 +818,23 @@ def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
         c2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
 
         def iw(i, k, b=b, Id=Id, m=m, c=c, c2=c2):
-            v = (
-                xim(b, i, 0) * Id[0] * xim(b, k, 0)
-                + xim(b, i, 1) * Id[1] * xim(b, k, 1)
-                + xim(b, i, 2) * Id[2] * xim(b, k, 2)
-            )
+            # Id entries are static floats; with the mega path xim entries
+            # can be static too (e.g. the worldbody), so values may fold to
+            # Python floats — materialize before stacking
+            v = 0.0
+            for a3 in range(3):
+                if Id[a3]:
+                    v = v + xim(b, i, a3) * Id[a3] * xim(b, k, a3)
             shift = m * ((c2 if i == k else 0.0) - c[i] * c[k])
             return v + shift
 
+        def _m(x):
+            return zero + x if isinstance(x, (int, float)) else x
+
         ci_list.append(jnp.stack([
-            iw(0, 0), iw(1, 1), iw(2, 2), iw(0, 1), iw(0, 2), iw(1, 2),
-            m * c[0], m * c[1], m * c[2], zero + m,
+            _m(iw(0, 0)), _m(iw(1, 1)), _m(iw(2, 2)),
+            _m(iw(0, 1)), _m(iw(0, 2)), _m(iw(1, 2)),
+            _m(m * c[0]), _m(m * c[1]), _m(m * c[2]), zero + m,
         ]))
 
     # --- cdof (kinematics.com_pos: hinge ang=axis, lin=axis x (com -
@@ -829,7 +949,7 @@ def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
     qact = [zero] * nv
     if plan.sm_actuation_on:
         for iu, a in enumerate(plan.sm_acts):
-            c = vp[o_ctrl + iu]
+            c = acc.ctrl(iu)
             if plan.sm_clampctrl and a["clo"] is not None:
                 c = jnp.clip(c, a["clo"], a["chi"])
             gain = a["gain"][0]
@@ -852,10 +972,8 @@ def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
     for b in range(1, nb):
         if not plan.dofmask[b].any():
             continue
-        frc = (vp[o_xfrc + 6 * b], vp[o_xfrc + 6 * b + 1],
-               vp[o_xfrc + 6 * b + 2])
-        trq = (vp[o_xfrc + 6 * b + 3], vp[o_xfrc + 6 * b + 4],
-               vp[o_xfrc + 6 * b + 5])
+        frc = (acc.xfrc(b, 0), acc.xfrc(b, 1), acc.xfrc(b, 2))
+        trq = (acc.xfrc(b, 3), acc.xfrc(b, 4), acc.xfrc(b, 5))
         off = tuple(xip(b, k) - com_l[k] for k in range(3))
         oxf = cross(off, frc)
         te = (trq[0] + oxf[0], trq[1] + oxf[1], trq[2] + oxf[2])
@@ -869,10 +987,10 @@ def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
             )
 
     qfs_vec = jnp.stack([
-        qpass[d] - qbias[d] + qact[d] + vp[o_app + d] + qx[d]
+        qpass[d] - qbias[d] + qact[d] + acc.app(d) + qx[d]
         for d in range(nv)
     ])
-    ws_vec = vp[o_ws:o_ws + nv]
+    ws_vec = acc.ws_vec()
 
     def arm_at(a):
         return plan.sm_armature[a]
@@ -884,24 +1002,37 @@ def _smooth_preamble(plan: RowPlan, vp, qpos, qvel, zero):
 # kernel builder
 # ---------------------------------------------------------------------------
 def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
-                       scale=None, tolerance=None, grouped=False):
+                       scale=None, tolerance=None, grouped=False,
+                       mega=False, maxd=4):
     nv, ncon = plan.nv, plan.ncon
     ne, nfl, nl = plan.ne, plan.nfl, plan.nl
 
     nq = plan.nq
 
-    def kernel(vp_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
-               *extra_refs):
+    def kernel(*refs):
         # vp: ONE packed per-env vector (see fused_constraint):
         #   non-smooth: [qpos qvel cdof(nv*6) com(3) cinert(nbody*10)
         #                qfrc_smooth(nv) ws(nv) armature(nv)]
         #   smooth:     [qpos qvel xipos(nbody*3) ximat(nbody*9)
         #                xanchor(njnt*3) xaxis(njnt*3) ctrl(nu)
         #                qfrc_applied(nv) xfrc(nbody*6) ws(nv)]
+        #   mega:       [qpos qvel ctrl(nu) qfrc_applied(nv) xfrc(nbody*6)
+        #                ws(nv)] — FK and collision run IN KERNEL
         # grouped layout: every ref block carries a unit group axis ahead
         # of the (S, 128) env block (the group axis is leading in the HBM
         # arrays so any power-of-two S lowers — see _fused_batched); drop
         # it on read. Lanes layout: blocks are already (K..., BE).
+        if mega:
+            n_tbl = plan.colp.n_mesh_tables
+            vp_ref = refs[0]
+            tbl_refs = refs[1:1 + n_tbl]
+            (x_ref, qfrc_ref, asm_ref, cdist_ref, cgid_ref,
+             cforce_ref, *extra_refs) = refs[1 + n_tbl:]
+            cp_ref = force_ref = None
+        else:
+            (vp_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
+             *extra_refs) = refs
+
         def rd(ref):
             v = ref[...]
             if grouped:
@@ -916,10 +1047,29 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         qvel = vp[nq:nq + nv]                # (nv, BE)
         nb = plan.nbody
         zero_env = qpos[0] * 0.0
+        ik_contacts = None
 
-        if plan.smooth:
+        if mega:
+            from . import pallas_fk as pfk
+
+            fkres = pfk.fk_env_block(plan.fkp, lambda q: qpos[q])
+            if ncon:
+                ik_contacts = pfk.collide_env_block(
+                    plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
+                )
             (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
-                _smooth_preamble(plan, vp, qpos, qvel, zero_env)
+                _smooth_preamble(
+                    plan, _MegaAcc(plan, vp, fkres, zero_env),
+                    qpos, qvel, zero_env,
+                )
+            )
+
+            def cdof(v, i):
+                return cdof_tab[v][i]
+        elif plan.smooth:
+            (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
+                _smooth_preamble(plan, _VpAcc(plan, vp), qpos, qvel,
+                                 zero_env)
             )
 
             def cdof(v, i):
@@ -1065,19 +1215,38 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # --- contacts ---
         mu_all = None
         if ncon:
-            cp = rd(cp_ref)  # (ncon, W, S, 128) packed per-slot fields
             if plan.uniform:
-                # uniform statics: [pos(3) dist geom2 (fric(2))] — frame,
-                # margin, kbi params and geom1's body are plan constants
-                cpos = cp[:, 0:3, :]
-                dist = cp[:, 3, :]
-                gid2 = cp[:, 4, :]
-                if plan.fric_uniform:
+                if ik_contacts is not None:
+                    # mega: slot data straight from the in-kernel collision
+                    # stage — never touches HBM in any layout
+                    ik_pos, ik_dist, ik_gid = ik_contacts
+                    from . import pallas_fk as pfk
+
+                    cpos = jnp.stack([
+                        jnp.stack([
+                            pfk.materialize(p[i], zero_env)
+                            for i in range(3)
+                        ])
+                        for p in ik_pos
+                    ])  # (ncon, 3, E)
+                    dist = jnp.stack(ik_dist)
+                    gid2 = jnp.stack(ik_gid)
                     mu1 = plan.c_fric[0]
                     mu2 = plan.c_fric[1]
                 else:
-                    mu1 = cp[:, 5, :]
-                    mu2 = cp[:, 6, :]
+                    # uniform statics: [pos(3) dist geom2 (fric(2))] —
+                    # frame, margin, kbi params and geom1's body are plan
+                    # constants
+                    cp = rd(cp_ref)
+                    cpos = cp[:, 0:3, :]
+                    dist = cp[:, 3, :]
+                    gid2 = cp[:, 4, :]
+                    if plan.fric_uniform:
+                        mu1 = plan.c_fric[0]
+                        mu2 = plan.c_fric[1]
+                    else:
+                        mu1 = cp[:, 5, :]
+                        mu2 = cp[:, 6, :]
                 frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
                 # body one-hots from the raw geom id (geom -> body is a
                 # static table; the plane's body 0 has an empty chain)
@@ -1100,6 +1269,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 # generic pack: [pos(3) frame(9) dist margin fric(nf)
                 #                solref(2) solimp(5) iw_t bid1 bid2]
                 nf = plan.nfric
+                cp = rd(cp_ref)
                 cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
                 frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
                 dist = cp[:, 12, :]      # (ncon, BE)
@@ -1175,12 +1345,22 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 mu0 = fric[:, 0, :]
                 act_c = (dist < marg).astype(f32)
 
+            # static liveness: dofs on no candidate body's chain have
+            # all-zero axis rows (maskd_of None) — skipped in every hot
+            # pass here and in solve_core (pyr["live"])
+            jt_live = [maskd_of[v] is not None for v in range(nv)]
+
             # per-axis velocities (vel of any contact row is a combination)
             vel_ax = []
             for t in range(3):
-                s = jt[t][0] * qvel[0][None]
-                for v in range(1, nv):
-                    s = s + jt[t][v] * qvel[v][None]
+                s = None
+                for v in range(nv):
+                    if not jt_live[v]:
+                        continue
+                    term = jt[t][v] * qvel[v][None]
+                    s = term if s is None else s + term
+                if s is None:
+                    s = jnp.zeros_like(dist)
                 vel_ax.append(s)  # (ncon, E)
             kimp = kc * impc * pos_c
             R_nc = jnp.maximum(
@@ -1320,7 +1500,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         s0 = plan.ne + plan.nfl + plan.nl
         pyr = None
         if ncon and not plan.elliptic:
-            pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon)
+            pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
+                       live=jt_live)
 
         x, force = pn.solve_core(
             J, M, aref, D, R, floss_fl, act, asm, ws,
@@ -1330,7 +1511,23 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         )
 
         wr(x_ref, x)
-        wr(force_ref, force)
+        if not mega:
+            wr(force_ref, force)
+        else:
+            # contact meta for the GRF readout (support.contact_force_groups)
+            # and the efc_force_contact per-slot forces, emitted directly
+            # from the VMEM-resident force rows (blocked facet layout:
+            # facet f of slot c lives at s0 + f*ncon + c)
+            wr(cdist_ref, dist)
+            wr(cgid_ref, gid2)
+            cf_rows = []
+            for c in range(ncon):
+                for f in range(maxd):
+                    if f < 4:
+                        cf_rows.append(force[s0 + f * ncon + c])
+                    else:
+                        cf_rows.append(zero_env)
+            wr(cforce_ref, jnp.stack(cf_rows))
         if pyr is not None:
             ffc0 = force[s0:s0 + ncon]
             ffc1 = force[s0 + ncon:s0 + 2 * ncon]
@@ -1341,10 +1538,15 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             f2c = mu2 * (ffc2 - ffc3)
             ftop = force[:s0] if s0 else None
             qfrc = []
+            live = pyr["live"]
             for v in range(nv):
-                s = jnp.sum(
-                    jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c, axis=0
-                )
+                if live[v]:
+                    s = jnp.sum(
+                        jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c,
+                        axis=0,
+                    )
+                else:
+                    s = zero_env
                 if s0:
                     s = s + jnp.sum(J[v] * ftop, axis=0)
                 qfrc.append(s)
@@ -1607,4 +1809,158 @@ def fused_constraint(model: Model, data, plan: RowPlan):
         qfrc_constraint=qfrc.astype(dtype),
         efc_force_contact=efc_force_contact.astype(dtype),
         euler_dv=euler_dv,
+    )
+
+
+# ---------------------------------------------------------------------------
+# mega path: FK + collision + smooth + solve in ONE kernel per forward
+# ---------------------------------------------------------------------------
+_MEGA_MAXD = 4  # condim-3 pyramid: 4 facet rows per slot
+
+
+def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
+                  tolerance, vec):
+    """Batched mega entry (lanes layout only): `vec` is the (E, nvec)
+    packed [qpos qvel ctrl qfrc_applied xfrc ws] per-env vector; the mesh
+    vertex/neighbor tables ride along as whole-array VMEM inputs."""
+    E = vec.shape[0]
+    f32 = jnp.float32
+    G = (E + _BE - 1) // _BE
+    Ep = G * _BE
+
+    def tl(x):
+        x = play.moveaxis0_last(x.astype(f32))
+        if Ep != E:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
+        return x
+
+    nvec = vec.shape[1]
+
+    def spec(*dims):
+        nd = len(dims)
+        return pl.BlockSpec(
+            (*dims, _BE),
+            lambda e: (0,) * nd + (e,),
+            memory_space=pltpu.VMEM,
+        )
+
+    ins = [tl(vec)]
+    specs = [spec(nvec)]
+    for tbl in plan.colp.mesh_table_arrays():
+        ins.append(tbl)
+        specs.append(pl.BlockSpec(
+            tbl.shape, lambda e: (0, 0, 0), memory_space=pltpu.VMEM
+        ))
+
+    nv, ncon = plan.nv, plan.ncon
+    kernel = _make_fused_kernel(
+        plan, iterations, ls_iterations, scale=scale, tolerance=tolerance,
+        grouped=False, mega=True, maxd=_MEGA_MAXD,
+    )
+
+    def osh(k):
+        return jax.ShapeDtypeStruct((k, Ep), f32)
+
+    ks = [nv, nv, nv, ncon, ncon, ncon * _MEGA_MAXD]
+    if plan.euler_dv:
+        ks.append(nv)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=specs,
+        out_specs=[spec(k) for k in ks],
+        out_shape=[osh(k) for k in ks],
+        interpret=pn._INTERPRET,
+        compiler_params=pn.vmem_params(),
+    )(*ins)
+
+    def back(a):
+        return play.moveaxis_last0(a)[:E]
+
+    return tuple(back(o) for o in outs)
+
+
+_MEGA_CACHE: dict = {}
+
+
+def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
+                    scale=None, tolerance=None):
+    scale = None if scale is None else float(scale)
+    tolerance = None if tolerance is None else float(tolerance)
+    key = (id(plan), iterations, ls_iterations, scale, tolerance)
+    hit = _MEGA_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    n_out = 7 if plan.euler_dv else 6
+
+    def solve_b(vec):
+        return _mega_batched(plan, iterations, ls_iterations, scale,
+                             tolerance, vec)
+
+    @jax.custom_batching.custom_vmap
+    def solve(vec):
+        out = solve_b(vec[None])
+        return tuple(o[0] for o in out)
+
+    @solve.def_vmap
+    def _vmap(axis_size, in_batched, vec):
+        if not in_batched[0]:
+            vec = jnp.broadcast_to(vec, (axis_size,) + vec.shape)
+        return solve_b(vec), (True,) * n_out
+
+    _MEGA_CACHE[key] = solve
+    return solve
+
+
+def mega_forward(model: Model, data, plan: RowPlan):
+    """Drop-in for the whole forward pass (mj_forward) on mega-capable
+    models: FK, collision, smooth stage, constraint assembly and the
+    Newton solve all run inside one Pallas program. Position/velocity
+    -stage Data fields (xpos/ximat/cdof/contact pos...) are left STALE —
+    nothing in the step loop reads them on this path (the env layer reads
+    qpos/qvel/GRF only; A1's site-based observation keeps the staged
+    path). The contact meta the GRF readout needs (dist/geom ids/
+    friction) IS emitted."""
+    solver_fn = get_mega_solver(
+        plan, model.opt.iterations, model.opt.ls_iterations,
+        scale=model.stat_meaninertia * max(1, model.nv),
+        tolerance=max(model.opt.tolerance, 1e-6),
+    )
+    dtype = data.qpos.dtype
+    vec = jnp.concatenate([
+        data.qpos, data.qvel, data.ctrl, data.qfrc_applied,
+        data.xfrc_applied.reshape(-1), data.qacc_warmstart,
+    ]).astype(dtype)
+    outs = solver_fn(vec)
+    x, qfrc, asm, cdist, cgid, cforce = outs[:6]
+    euler_dv = outs[6].astype(dtype) if plan.euler_dv else None
+
+    ncon = plan.ncon
+    con = data.contact
+    contact = con.replace(
+        dist=cdist.astype(dtype),
+        geom1=jnp.full((ncon,), plan.colp.plane_gid, con.geom1.dtype),
+        geom2=cgid.astype(con.geom2.dtype),
+        includemargin=jnp.full((ncon,), plan.c_margin, dtype),
+        friction=jnp.broadcast_to(
+            jnp.asarray(plan.c_fric5, dtype), (ncon, 5)
+        ),
+    )
+    maxd = int(data.efc_force_contact.shape[-1])
+    efc = cforce.reshape(ncon, _MEGA_MAXD).astype(dtype)
+    if maxd > _MEGA_MAXD:
+        efc = jnp.concatenate(
+            [efc, jnp.zeros((ncon, maxd - _MEGA_MAXD), dtype)], axis=-1
+        )
+    else:
+        efc = efc[:, :maxd]
+
+    return data.replace(
+        qacc=x.astype(dtype),
+        qacc_smooth=asm.astype(dtype),
+        qfrc_constraint=qfrc.astype(dtype),
+        efc_force_contact=efc,
+        euler_dv=euler_dv,
+        contact=contact,
     )

@@ -1,0 +1,850 @@
+"""In-kernel forward kinematics + plane collision for the mega fused path.
+
+The mega kernel (ops/pallas_constraint.py) runs the ENTIRE forward pass of a
+supported model inside one Pallas program: FK -> collision -> smooth stage ->
+constraint assembly -> Newton solve. This module provides the FK and
+collision stages as trace-time code generators over per-env blocks.
+
+Everything here operates on "static-or-traced" scalars: a value is either a
+Python float (compile-time constant) or a (BE,)/(S,128) env-block array.
+The helpers fold constants at trace time, so identity body quaternions,
+world-axis root slides and zeroed offsets — the bulk of real robot MJCFs —
+generate no vector ops at all. This matters: per-env scalar chains run at
+1/8 VPU rate in the lanes layout (one sublane per (1, 128) value), so every
+folded op is 8x its nominal cost.
+
+The math mirrors ops/kinematics.kinematics (mj_kinematics semantics:
+hinge/slide joints only, nq == nv, see kinematics.py:26-127) and the
+plane-mesh manifold selection of ops/pallas_collision._make_kernel /
+_topk_kernel_builder (mjc_PlaneConvex semantics). The XLA implementations
+remain the reference; parity is asserted in tests/test_mega.py via
+interpret mode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_BIG = 1e10
+
+
+# ---------------------------------------------------------------------------
+# static-or-traced scalar arithmetic
+# ---------------------------------------------------------------------------
+def is_static(x):
+    return isinstance(x, (int, float))
+
+
+def neg(a):
+    return -a
+
+
+def mul(a, b):
+    if is_static(a) and is_static(b):
+        return a * b
+    if is_static(a):
+        if a == 0.0:
+            return 0.0
+        if a == 1.0:
+            return b
+        if a == -1.0:
+            return -b
+        return a * b
+    if is_static(b):
+        return mul(b, a)
+    return a * b
+
+
+def add(*xs):
+    const = 0.0
+    arr = None
+    for x in xs:
+        if is_static(x):
+            const += x
+        else:
+            arr = x if arr is None else arr + x
+    if arr is None:
+        return const
+    return arr if const == 0.0 else arr + const
+
+
+def sub(a, b):
+    if is_static(b):
+        return add(a, -b)
+    if is_static(a) and a == 0.0:
+        return -b
+    return add(a, mul(-1.0, b))
+
+
+def dot3(a, b):
+    return add(mul(a[0], b[0]), mul(a[1], b[1]), mul(a[2], b[2]))
+
+
+def cross3(a, b):
+    return (
+        sub(mul(a[1], b[2]), mul(a[2], b[1])),
+        sub(mul(a[2], b[0]), mul(a[0], b[2])),
+        sub(mul(a[0], b[1]), mul(a[1], b[0])),
+    )
+
+
+def vadd(a, b):
+    return tuple(add(a[i], b[i]) for i in range(len(a)))
+
+
+def vscale(a, s):
+    return tuple(mul(a[i], s) for i in range(len(a)))
+
+
+def quat_mul(a, b):
+    """(w,x,y,z) Hamilton product, ops/math.py:quat_mul."""
+    w1, x1, y1, z1 = a
+    w2, x2, y2, z2 = b
+    return (
+        sub(sub(sub(mul(w1, w2), mul(x1, x2)), mul(y1, y2)), mul(z1, z2)),
+        sub(add(mul(w1, x2), mul(x1, w2), mul(y1, z2)), mul(z1, y2)),
+        add(sub(mul(w1, y2), mul(x1, z2)), mul(y1, w2), mul(z1, x2)),
+        add(sub(add(mul(w1, z2), mul(x1, y2)), mul(y1, x2)), mul(z1, w2)),
+    )
+
+
+def quat_rotate(q, v):
+    """Rotate 3-tuple v by quaternion q: v + 2(w c + u x c), c = u x v
+    (ops/math.py:quat_rotate)."""
+    w = q[0]
+    u = q[1:]
+    c = cross3(u, v)
+    wc_uc = vadd(vscale(c, mul(2.0, w)), vscale(cross3(u, c), 2.0))
+    return vadd(v, wc_uc)
+
+
+def quat_to_mat(q):
+    """Quaternion -> row-major 3x3 entries (ops/math.py:quat_to_mat)."""
+    w, x, y, z = q
+    xx, yy, zz = mul(x, x), mul(y, y), mul(z, z)
+    wx, wy, wz = mul(w, x), mul(w, y), mul(w, z)
+    xy, xz, yz = mul(x, y), mul(x, z), mul(y, z)
+    return (
+        (sub(1.0, mul(2.0, add(yy, zz))), mul(2.0, sub(xy, wz)),
+         mul(2.0, add(xz, wy))),
+        (mul(2.0, add(xy, wz)), sub(1.0, mul(2.0, add(xx, zz))),
+         mul(2.0, sub(yz, wx))),
+        (mul(2.0, sub(xz, wy)), mul(2.0, add(yz, wx)),
+         sub(1.0, mul(2.0, add(xx, yy)))),
+    )
+
+
+def mat_vec(R, v):
+    return tuple(dot3(R[i], v) for i in range(3))
+
+
+def mat_t_vec(R, v):
+    return tuple(dot3((R[0][i], R[1][i], R[2][i]), v) for i in range(3))
+
+
+def mat_mul(A, B):
+    return tuple(
+        tuple(
+            add(mul(A[i][0], B[0][j]), mul(A[i][1], B[1][j]),
+                mul(A[i][2], B[2][j]))
+            for j in range(3)
+        )
+        for i in range(3)
+    )
+
+
+def materialize(x, zero):
+    """Force a static value into an env-block array (for stacking)."""
+    return zero + x if is_static(x) else x
+
+
+# ---------------------------------------------------------------------------
+# FK plan + in-kernel FK
+# ---------------------------------------------------------------------------
+class FkPlan:
+    """Static tables for in-kernel forward kinematics. Mirrors
+    ops/kinematics.kinematics exactly (hinge/slide joints, nq == nv)."""
+
+    def __init__(self, model, conc):
+        from ..core.types import JointType
+
+        jt = np.asarray(model.jnt_type)
+        if jt.size and not np.all(jt >= int(JointType.SLIDE)):
+            raise ValueError("hinge/slide joints only")
+        need = [
+            model.body_pos, model.body_quat, model.body_ipos,
+            model.body_iquat, model.jnt_pos, model.jnt_axis, model.qpos0,
+        ]
+        vals = [conc(x) for x in need]
+        if any(v is None for v in vals):
+            raise ValueError("traced FK leaf")
+        bpos, bquat, bipos, biquat, jpos, jaxis, qpos0 = [
+            np.asarray(v, np.float64) for v in vals
+        ]
+        nb = model.nbody
+        self.nbody = nb
+        self.njnt = model.njnt
+        parent = [int(b) for b in np.asarray(model.body_parentid)]
+        self.parent = parent
+        order, seen = [], {0}
+        pending = list(range(1, nb))
+        while pending:
+            for b in list(pending):
+                if parent[b] in seen:
+                    order.append(b)
+                    seen.add(b)
+                    pending.remove(b)
+        self.topo = order
+        self.body_pos = [tuple(float(x) for x in bpos[b]) for b in range(nb)]
+        self.body_quat = [tuple(float(x) for x in bquat[b]) for b in range(nb)]
+        self.body_ipos = [tuple(float(x) for x in bipos[b]) for b in range(nb)]
+        self.body_iquat = [
+            tuple(float(x) for x in biquat[b]) for b in range(nb)
+        ]
+        jadr = np.asarray(model.body_jntadr)
+        jnum = np.asarray(model.body_jntnum)
+        qadr = np.asarray(model.jnt_qposadr)
+        self.body_joints = [
+            [
+                dict(
+                    j=int(j),
+                    q=int(qadr[j]),
+                    q0=float(qpos0[qadr[j]]),
+                    hinge=int(jt[j]) == int(JointType.HINGE),
+                    pos=tuple(float(x) for x in jpos[j]),
+                    axis=tuple(float(x) for x in jaxis[j]),
+                )
+                for j in range(int(jadr[b]), int(jadr[b]) + int(jnum[b]))
+            ]
+            for b in range(nb)
+        ]
+
+
+class FkResult:
+    """World-frame body/joint quantities as static-or-traced tuples."""
+
+    __slots__ = ("xpos", "xquat", "xmat", "xipos", "ximat", "xanchor",
+                 "xaxis")
+
+
+_IDENT_Q = (1.0, 0.0, 0.0, 0.0)
+
+
+def fk_env_block(fkp: FkPlan, qpos_row) -> FkResult:
+    """Run FK for one env block. `qpos_row(q)` returns the (BE,) env-block
+    value of qpos[q]. Returns per-body pos/quat/mat (+inertial frame) and
+    per-joint anchors/axes as tuples of static-or-traced scalars."""
+    nb = fkp.nbody
+    out = FkResult()
+    xpos = [None] * nb
+    xquat = [None] * nb
+    xanchor = [None] * max(fkp.njnt, 1)
+    xaxis = [None] * max(fkp.njnt, 1)
+    xpos[0] = (0.0, 0.0, 0.0)
+    xquat[0] = _IDENT_Q
+
+    for b in fkp.topo:
+        p = fkp.parent[b]
+        pos = vadd(xpos[p], quat_rotate(xquat[p], fkp.body_pos[b]))
+        quat = (
+            quat_mul(xquat[p], fkp.body_quat[b])
+            if fkp.body_quat[b] != _IDENT_Q
+            else xquat[p]
+        )
+        for jd in fkp.body_joints[b]:
+            anchor = vadd(pos, quat_rotate(quat, jd["pos"]))
+            axis = quat_rotate(quat, jd["axis"])
+            xanchor[jd["j"]] = anchor
+            xaxis[jd["j"]] = axis
+            qd = sub(qpos_row(jd["q"]), jd["q0"])
+            if jd["hinge"]:
+                half = mul(0.5, qd)
+                c, s = jnp.cos(half), jnp.sin(half)
+                qloc = (c,) + vscale(jd["axis"], s)
+                quat = quat_mul(quat, qloc)
+                pos = sub3(anchor, quat_rotate(quat, jd["pos"]))
+            else:
+                pos = vadd(pos, vscale(axis, qd))
+        xpos[b] = pos
+        xquat[b] = quat
+
+    xmat = [quat_to_mat(q) for q in xquat]
+    xipos = [
+        vadd(xpos[b], quat_rotate(xquat[b], fkp.body_ipos[b]))
+        if fkp.body_ipos[b] != (0.0, 0.0, 0.0)
+        else xpos[b]
+        for b in range(nb)
+    ]
+    ximat = [
+        quat_to_mat(quat_mul(xquat[b], fkp.body_iquat[b]))
+        if fkp.body_iquat[b] != _IDENT_Q
+        else xmat[b]
+        for b in range(nb)
+    ]
+    out.xpos, out.xquat, out.xmat = xpos, xquat, xmat
+    out.xipos, out.ximat = xipos, ximat
+    out.xanchor, out.xaxis = xanchor, xaxis
+    return out
+
+
+def sub3(a, b):
+    return tuple(sub(a[i], b[i]) for i in range(3))
+
+
+# ---------------------------------------------------------------------------
+# collision plan + in-kernel plane collision
+# ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# collision plan + in-kernel plane collision
+# ---------------------------------------------------------------------------
+class ColPlan:
+    """Static tables for in-kernel plane collision (box/cylinder/mesh).
+
+    Valid only under RowPlan.uniform (one static world plane, uniform
+    solref/solimp/margin across candidate pairs; pyramidal cones keep the
+    plane's static contact frame for every slot — plane-capsule, whose
+    frame follows the capsule axis, is rejected). Slot order matches
+    ops/collision.contact_groups exactly: groups sorted by (t1, t2,
+    condim); within a group, pairs in pid order when k == P, else top-k
+    rank order by support distance (the same `mid - margin` key and
+    first-index tie-break as the XLA driver, collision.py:772-813)."""
+
+    def __init__(self, model, conc):
+        from ..core.types import GeomType
+        from .collision import contact_groups
+        from .pallas_collision import pack_plane_mesh_buckets
+
+        groups, total, _ = contact_groups(model)
+        need = [model.geom_pos, model.geom_quat, model.geom_size,
+                model.pair_margin]
+        vals = [conc(x) for x in need]
+        if any(v is None for v in vals):
+            raise ValueError("traced collision leaf")
+        gpos, gquat, gsize, pmarg = [np.asarray(v, np.float64) for v in vals]
+        gbody = np.asarray(model.geom_bodyid)
+        gtype = np.asarray(model.geom_type)
+
+        _PLANE = int(GeomType.PLANE)
+        _KIND = {
+            int(GeomType.CYLINDER): "cyl",
+            int(GeomType.BOX): "box",
+            int(GeomType.MESH): "mesh",
+        }
+
+        self.groups = []
+        self.ncon = total
+        plane_gid = None
+        n_mesh = 0
+        for g in groups:
+            if int(g.t1) != _PLANE or int(g.condim) != 3:
+                raise ValueError("non-plane or non-condim3 group")
+            kind = _KIND.get(int(g.t2))
+            if kind is None:
+                raise ValueError("unsupported group type")
+            pid = np.asarray(g.pair_ids)
+            pg1 = np.asarray(model.pair_geom1)[pid]
+            pg2 = np.asarray(model.pair_geom2)[pid]
+            if plane_gid is None:
+                plane_gid = int(pg1[0])
+            if not np.all(pg1 == plane_gid):
+                raise ValueError("multiple planes")
+            if not np.all(pmarg[pid] == pmarg[pid[0]]):
+                raise ValueError("non-uniform pair margins in group")
+
+            gdesc = dict(
+                kind=kind, k=int(g.k), slots=int(g.slots),
+                margin=float(pmarg[pid[0]]),
+            )
+            if kind == "mesh":
+                if g.slots != 3:
+                    raise ValueError("plane-mesh slots != 3")
+                n_mesh += 1
+                if n_mesh > 1:
+                    raise ValueError("multiple mesh groups")
+                import os as _os
+
+                vcap = int(_os.environ.get("LMT_MESH_VCAP", "5632"))
+                packed = pack_plane_mesh_buckets(model, pid, vcap)
+                if packed is None:
+                    raise ValueError("mesh pack failed (brute/oversized)")
+                subs, border = packed
+                bpid = pid[border]  # bucket-major pair ids
+                gdesc["subs"] = subs
+                gdesc["pairs"] = [
+                    dict(
+                        gid=int(pg2b), body=int(gbody[pg2b]),
+                        gpos=tuple(float(x) for x in gpos[pg2b]),
+                        gquat=tuple(float(x) for x in gquat[pg2b]),
+                    )
+                    for pg2b in np.asarray(model.pair_geom2)[bpid]
+                ]
+            else:
+                if g.slots != 4:
+                    raise ValueError("plane box/cyl slots != 4")
+                gdesc["pairs"] = [
+                    dict(
+                        gid=int(gid), body=int(gbody[gid]),
+                        size=tuple(float(x) for x in gsize[gid]),
+                        gpos=tuple(float(x) for x in gpos[gid]),
+                        gquat=tuple(float(x) for x in gquat[gid]),
+                    )
+                    for gid in pg2
+                ]
+            self.groups.append(gdesc)
+
+        # static plane frame (normal from geom_quat; plane on world body)
+        if plane_gid is None:
+            raise ValueError("no contacts")
+        if int(gbody[plane_gid]) != 0:
+            raise ValueError("plane not on world body")
+        if int(gtype[plane_gid]) != _PLANE:
+            raise ValueError("geom1 not a plane")
+        w, xq, yq, zq = (float(v) for v in gquat[plane_gid])
+        qn = (w * w + xq * xq + yq * yq + zq * zq) ** 0.5
+        w, xq, yq, zq = w / qn, xq / qn, yq / qn, zq / qn
+        self.n = (
+            2 * (xq * zq + w * yq),
+            2 * (yq * zq - w * xq),
+            1 - 2 * (xq * xq + yq * yq),
+        )
+        self.pp = tuple(float(x) for x in gpos[plane_gid])
+        self.plane_gid = plane_gid
+
+    @property
+    def n_mesh_tables(self):
+        return sum(
+            len(g["subs"]) for g in self.groups if g["kind"] == "mesh"
+        )
+
+    def mesh_table_arrays(self):
+        """The bucketed static vertex/neighbor tables as jnp inputs for
+        pallas_call (one (Pb, 3+4D, V) array per bucket)."""
+        out = []
+        for g in self.groups:
+            if g["kind"] != "mesh":
+                continue
+            for ids, tbl_t, marg, D in g["subs"]:
+                tbl = np.frombuffer(tbl_t[0], np.float32).reshape(tbl_t[1])
+                out.append(jnp.asarray(tbl))
+        return out
+
+
+def _pair_pose(fk, pair, body_t_cache, n):
+    """World pose pieces of one candidate geom: qp (3-tuple), Rb (3x3
+    tuples, = xmat[body] @ R(gquat)), and a = Rb' n (the plane normal in
+    geom-local coords). Static-identity geom quats fold away."""
+    b = pair["body"]
+    if b not in body_t_cache:
+        body_t_cache[b] = mat_t_vec(fk.xmat[b], n)
+    Rg = quat_to_mat(pair["gquat"])
+    Rb = (
+        mat_mul(fk.xmat[b], Rg) if pair["gquat"] != _IDENT_Q else fk.xmat[b]
+    )
+    a = (
+        mat_t_vec(Rg, body_t_cache[b])
+        if pair["gquat"] != _IDENT_Q
+        else body_t_cache[b]
+    )
+    qp = vadd(fk.xpos[b], mat_vec(fk.xmat[b], pair["gpos"]))
+    return qp, Rb, a
+
+
+def _box_slots(n, pp_n, qp, Rb, size, zero, f32):
+    """4-deepest-of-8-corners plane-box manifold (collision.plane_box
+    semantics: iterative argmin with first-index ties). qp/Rb/size are
+    static-or-traced tuples; returns 4 (pos, dist) slots."""
+    pts, hs = [], []
+    sx, sy, sz = size
+    for cx in (-1.0, 1.0):
+        for cy in (-1.0, 1.0):
+            for cz in (-1.0, 1.0):
+                local = (mul(cx, sx), mul(cy, sy), mul(cz, sz))
+                pt = vadd(qp, mat_vec(Rb, local))
+                pts.append(pt)
+                hs.append(materialize(sub(dot3(n, pt), pp_n), zero))
+    slots = []
+    hm = list(hs)
+    for _ in range(4):
+        m = hm[0]
+        for i in range(1, 8):
+            m = jnp.minimum(m, hm[i])
+        sel_h = zero
+        sel_p = [zero, zero, zero]
+        found = zero  # first-index tie-break within this round
+        for i in range(8):
+            oh = (hm[i] == m).astype(f32) * (1.0 - found)
+            sel_h = sel_h + oh * hs[i]
+            for k3 in range(3):
+                sel_p[k3] = sel_p[k3] + oh * materialize(pts[i][k3], zero)
+            hm[i] = jnp.where(oh > 0, _BIG, hm[i])
+            found = jnp.maximum(found, oh)
+        slots.append((
+            tuple(sel_p[k3] - n[k3] * 0.5 * sel_h for k3 in range(3)),
+            sel_h,
+        ))
+    return slots
+
+
+_SIN120 = float(np.sqrt(3.0) / 2.0)
+
+
+def _cyl_slots(n, pp_n, qp, axis, col0, r, hl, zero):
+    """Plane-cylinder manifold (collision.plane_cylinder semantics): the
+    deepest rim point of the near cap, its ±120° rim companions, and the
+    deepest rim point of the far cap. axis/col0 = cylinder z/x axes in
+    world frame; r/hl radius and half-length (static-or-traced)."""
+    ca = materialize(dot3(n, axis), zero)
+    sgn = jnp.where(ca >= 0, -1.0, 1.0)
+    shl = mul(sgn, hl)
+    cap_near = vadd(qp, vscale(axis, shl))
+    cap_far = sub3(qp, vscale(axis, shl))
+
+    # deepest in-plane rim direction (⊥ axis); ⊥-degenerate (axis || n)
+    # falls back to the cylinder's local x axis
+    d = sub3(vscale(axis, ca), n)
+    dn2 = add(mul(d[0], d[0]), mul(d[1], d[1]), mul(d[2], d[2]))
+    dn = jnp.sqrt(materialize(dn2, zero))
+    ok = dn > 1e-8
+    dsafe = jnp.maximum(dn, 1e-15)
+    d = tuple(
+        jnp.where(ok, materialize(d[i], zero) / dsafe,
+                  materialize(col0[i], zero))
+        for i in range(3)
+    )
+    e = cross3(axis, d)
+    en = jnp.sqrt(jnp.maximum(materialize(
+        add(mul(e[0], e[0]), mul(e[1], e[1]), mul(e[2], e[2])), zero
+    ), 1e-30))
+    e = tuple(materialize(e[i], zero) / jnp.maximum(en, 1e-15)
+              for i in range(3))
+
+    rd = vscale(d, r)
+    rot1 = tuple(
+        mul(r, add(mul(-0.5, d[i]), mul(_SIN120, e[i]))) for i in range(3)
+    )
+    rot2 = tuple(
+        mul(r, sub(mul(-0.5, d[i]), mul(_SIN120, e[i]))) for i in range(3)
+    )
+    pts = [
+        vadd(cap_near, rd),
+        vadd(cap_near, rot1),
+        vadd(cap_near, rot2),
+        vadd(cap_far, rd),
+    ]
+    slots = []
+    for pt in pts:
+        h = materialize(sub(dot3(n, pt), pp_n), zero)
+        slots.append((
+            tuple(materialize(pt[k3], zero) - n[k3] * 0.5 * h
+                  for k3 in range(3)),
+            h,
+        ))
+    return slots
+
+
+def _support_key(kind, n, pp_n, qp, Rb, a, size, zero):
+    """Per-pair support distance h - supp (the XLA midphase key before
+    the margin shift, collision.py:776-796)."""
+    h = sub(dot3(n, qp), pp_n)
+    if kind == "box":
+        supp = 0.0
+        for i in range(3):
+            ni = add(mul(Rb[0][i], n[0]), mul(Rb[1][i], n[1]),
+                     mul(Rb[2][i], n[2]))
+            ni = jnp.abs(materialize(ni, zero))
+            supp = add(supp, mul(size[i], ni))
+    else:  # cyl
+        axis = (Rb[0][2], Rb[1][2], Rb[2][2])
+        ca = jnp.abs(materialize(dot3(n, axis), zero))
+        supp = add(
+            mul(size[1], ca),
+            mul(size[0], jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))),
+        )
+    return materialize(sub(h, supp), zero)
+
+
+def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
+    """In-kernel plane collision for one env block.
+
+    Returns (cpos, dist, gid2): per-slot lists — cpos[s] a 3-tuple of env
+    rows, dist[s]/gid2[s] env rows — in contact-slot order. Mesh manifold
+    walks run through VMEM scratch with conservative-bound skip gates (the
+    (V, BE) height maps only run for pairs near the plane anywhere in the
+    block); box/cylinder groups with k < P gather the selected pairs'
+    pose rows by one-hot sums before their (cheap) manifolds."""
+    f32 = jnp.float32
+    n = colp.n
+    pp_n = dot3(colp.n, colp.pp)
+    body_t = {}
+
+    cpos, dist, gid2 = [], [], []
+    tbl_i = 0
+
+    for g in colp.groups:
+        pairs = g["pairs"]
+        P = len(pairs)
+        k = g["k"]
+
+        if g["kind"] in ("box", "cyl"):
+            poses = [_pair_pose(fk, bp, body_t, n) for bp in pairs]
+            if k == P:
+                # no selection: static sizes/gids, pairs in pid order
+                for bp, (qp, Rb, a) in zip(pairs, poses):
+                    if g["kind"] == "box":
+                        slots = _box_slots(n, pp_n, qp, Rb, bp["size"],
+                                           zero, f32)
+                    else:
+                        col0 = (Rb[0][0], Rb[1][0], Rb[2][0])
+                        axis = (Rb[0][2], Rb[1][2], Rb[2][2])
+                        slots = _cyl_slots(n, pp_n, qp, axis, col0,
+                                           bp["size"][0], bp["size"][1],
+                                           zero)
+                    for pos, d in slots:
+                        cpos.append(pos)
+                        dist.append(d)
+                        gid2.append(zero + float(bp["gid"]))
+            else:
+                # top-k by support key, then narrowphase on the gathered
+                # pose rows. Gather table per pair:
+                #   box: [qp(3) Rb(9) size(3) gid]         (16 rows)
+                #   cyl: [qp(3) axis(3) col0(3) r hl gid]  (12 rows)
+                keys, tabs = [], []
+                for bp, (qp, Rb, a) in zip(pairs, poses):
+                    keys.append(
+                        _support_key(g["kind"], n, pp_n, qp, Rb, a,
+                                     bp["size"], zero)
+                        - g["margin"]
+                    )
+                    if g["kind"] == "box":
+                        rows = (
+                            [materialize(qp[i], zero) for i in range(3)]
+                            + [materialize(Rb[i][j], zero)
+                               for i in range(3) for j in range(3)]
+                            + [zero + bp["size"][i] for i in range(3)]
+                            + [zero + float(bp["gid"])]
+                        )
+                    else:
+                        rows = (
+                            [materialize(qp[i], zero) for i in range(3)]
+                            + [materialize(Rb[i][2], zero)
+                               for i in range(3)]
+                            + [materialize(Rb[i][0], zero)
+                               for i in range(3)]
+                            + [zero + bp["size"][0], zero + bp["size"][1],
+                               zero + float(bp["gid"])]
+                        )
+                    tabs.append(jnp.stack(rows))
+                key = jnp.stack(keys)      # (P, E)
+                tab = jnp.stack(tabs)      # (P, T, E)
+                iota_p = jax.lax.broadcasted_iota(
+                    jnp.int32, (P,) + (1,) * len(eshape), 0
+                ).astype(f32)
+                for s in range(k):
+                    m = jnp.min(key, axis=0, keepdims=True)
+                    i = jnp.min(
+                        jnp.where(key == m, iota_p, float(P)),
+                        axis=0, keepdims=True,
+                    )
+                    oh = (iota_p == i).astype(f32)
+                    key = jnp.where(oh > 0, _BIG, key)
+                    meta = jnp.sum(oh[:, None] * tab, axis=0)  # (T, E)
+                    qp = (meta[0], meta[1], meta[2])
+                    if g["kind"] == "box":
+                        Rb = tuple(
+                            tuple(meta[3 + 3 * i + j] for j in range(3))
+                            for i in range(3)
+                        )
+                        size = (meta[12], meta[13], meta[14])
+                        gidv = meta[15]
+                        slots = _box_slots(n, pp_n, qp, Rb, size, zero,
+                                           f32)
+                    else:
+                        axis = (meta[3], meta[4], meta[5])
+                        col0 = (meta[6], meta[7], meta[8])
+                        gidv = meta[11]
+                        slots = _cyl_slots(n, pp_n, qp, axis, col0,
+                                           meta[9], meta[10], zero)
+                    for pos, d in slots:
+                        cpos.append(pos)
+                        dist.append(d)
+                        gid2.append(gidv)
+            continue
+
+        # ---- mesh group: bucketed manifold selection + top-k ----
+        mesh_pairs = pairs
+        subs = g["subs"]
+        my_tbls = tbl_refs[tbl_i:tbl_i + len(subs)]
+        tbl_i += len(subs)
+
+        a_rows, b_rows, qp_list, R2_list = [], [], [], []
+        for bp in mesh_pairs:
+            qp, Rb, a = _pair_pose(fk, bp, body_t, n)
+            a_rows.append(tuple(materialize(x, zero) for x in a))
+            b_rows.append(materialize(sub(dot3(n, qp), pp_n), zero))
+            qp_list.append(qp)
+            R2_list.append(Rb)
+
+        def scoped(d0_ref, vsel_ref, subs=subs, my_tbls=my_tbls,
+                   a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
+                   R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
+                   g=g):
+            pi = 0
+            for ti, (ids, tbl_t, marg, D) in enumerate(subs):
+                tbl_ref = my_tbls[ti]
+                V = tbl_ref.shape[2]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (V, 1), 0
+                ).astype(f32)
+                for lp in range(len(ids)):
+                    p = pi + lp
+                    margin, dedupe2, rb = (float(x) for x in marg[lp])
+                    lb = b_rows[p] - (rb + 1e-6)
+                    tbl = tbl_ref[lp]  # (3+4D, V)
+                    d0_ref[p, 0, :] = lb
+                    d0_ref[p, 1, :] = zero + _BIG
+                    d0_ref[p, 2, :] = zero + _BIG
+                    for i3 in range(9):
+                        vsel_ref[p, i3, :] = zero + tbl[i3 % 3, 0]
+
+                    @pl.when(jnp.min(lb) < margin)
+                    def _near(p=p, tbl=tbl, iota=iota,
+                              margin=margin, dedupe2=dedupe2, D=D):
+                        a0 = a_rows[p][0][None, :]
+                        a1 = a_rows[p][1][None, :]
+                        a2 = a_rows[p][2][None, :]
+                        bb = b_rows[p][None, :]
+                        vx = tbl[0, :][:, None]
+                        vy = tbl[1, :][:, None]
+                        vz = tbl[2, :][:, None]
+                        h = vx * a0 + vy * a1 + vz * a2 + bb  # (V, BE)
+                        d0 = jnp.min(h, axis=0, keepdims=True)
+                        d0_ref[p, 0, :] = d0[0]
+
+                        @pl.when(jnp.min(d0) < margin)
+                        def _manifold():
+                            i0 = jnp.min(
+                                jnp.where(h == d0, iota, float(V)),
+                                axis=0, keepdims=True,
+                            )
+                            oh0 = (iota == i0).astype(f32)
+                            q = jax.lax.dot_general(
+                                tbl, oh0, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                            )  # (3+4D, BE)
+                            v0x, v0y, v0z = (
+                                q[0][None], q[1][None], q[2][None]
+                            )
+                            ids_n = q[3:3 + D]
+                            cx = q[3 + D:3 + 2 * D]
+                            cy = q[3 + 2 * D:3 + 3 * D]
+                            cz = q[3 + 3 * D:3 + 4 * D]
+                            hc = cx * a0 + cy * a1 + cz * a2 + bb
+                            ex = cx - v0x + 0.5 * d0 * a0
+                            ey = cy - v0y + 0.5 * d0 * a1
+                            ez = cz - v0z + 0.5 * d0 * a2
+                            dist2 = ex * ex + ey * ey + ez * ez
+                            qual = (
+                                (ids_n > -0.5) & (hc < margin)
+                                & (dist2 >= dedupe2)
+                            )
+                            qf = qual.astype(f32)
+                            big = jnp.full_like(d0, _BIG)
+                            zr = jnp.zeros_like(d0)
+                            cnt = zr
+                            d1 = d2 = big
+                            v1 = [zr, zr, zr]
+                            v2 = [zr, zr, zr]
+                            # select, not accumulate-toward: the
+                            # d1 + t1*(hc - d1) form cancels catastrophically
+                            # in f32 when d1 = _BIG (hc - 1e10 rounds to
+                            # -1e10 exactly), silently zeroing every
+                            # neighbor slot depth
+                            for dc in range(D):
+                                qd = qf[dc][None]
+                                t1 = (qd * (cnt == 0.0)) > 0
+                                t2 = (qd * (cnt == 1.0)) > 0
+                                d1 = jnp.where(t1, hc[dc][None], d1)
+                                d2 = jnp.where(t2, hc[dc][None], d2)
+                                for k3, cc in enumerate((cx, cy, cz)):
+                                    v1[k3] = jnp.where(
+                                        t1, cc[dc][None], v1[k3]
+                                    )
+                                    v2[k3] = jnp.where(
+                                        t2, cc[dc][None], v2[k3]
+                                    )
+                                cnt = cnt + qd
+                            d0_ref[p, 1, :] = d1[0]
+                            d0_ref[p, 2, :] = d2[0]
+                            vsel_ref[p, 0, :] = q[0]
+                            vsel_ref[p, 1, :] = q[1]
+                            vsel_ref[p, 2, :] = q[2]
+                            for k3 in range(3):
+                                vsel_ref[p, 3 + k3, :] = v1[k3][0]
+                                vsel_ref[p, 6 + k3, :] = v2[k3][0]
+
+                pi += len(ids)
+
+            # ---- top-k pair selection + slot build ----
+            d_all = d0_ref[...]       # (P, 3, BE)
+            vsel_all = vsel_ref[...]  # (P, 9, BE)
+            pair_tab = jnp.stack([
+                jnp.stack(
+                    [materialize(qp_list[p][i], zero) for i in range(3)]
+                    + [materialize(R2_list[p][i][j], zero)
+                       for i in range(3) for j in range(3)]
+                    + [zero + float(mesh_pairs[p]["gid"])]
+                )
+                for p in range(P)
+            ])  # (P, 13, BE)
+            key = d_all[:, 0] - g["margin"]
+            iota_p = jax.lax.broadcasted_iota(
+                jnp.int32, (P,) + (1,) * len(eshape), 0
+            ).astype(f32)
+
+            outs = []
+            for s in range(k):
+                m = jnp.min(key, axis=0, keepdims=True)
+                i = jnp.min(
+                    jnp.where(key == m, iota_p, float(P)),
+                    axis=0, keepdims=True,
+                )
+                oh = (iota_p == i).astype(f32)  # (P, BE)
+                key = jnp.where(oh > 0, _BIG, key)
+                ohe = oh[:, None]
+                dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
+                vs = jnp.sum(ohe * vsel_all, axis=0)     # (9, BE)
+                meta = jnp.sum(ohe * pair_tab, axis=0)   # (13, BE)
+                qp = meta[0:3]
+                R2 = meta[3:12]
+                gid = meta[12]
+                for f in range(3):
+                    d2 = 0.5 * dsel[f]
+                    pos_f = []
+                    for i3 in range(3):
+                        w = (
+                            qp[i3]
+                            + R2[3 * i3 + 0] * vs[3 * f + 0]
+                            + R2[3 * i3 + 1] * vs[3 * f + 1]
+                            + R2[3 * i3 + 2] * vs[3 * f + 2]
+                        )
+                        pos_f.append(w - n[i3] * d2)
+                    outs.append((tuple(pos_f), dsel[f], gid))
+            return outs
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        outs = pl.run_scoped(
+            scoped,
+            pltpu.VMEM((P, 3, *eshape), f32),
+            pltpu.VMEM((P, 9, *eshape), f32),
+        )
+        for pos_f, d, gidv in outs:
+            cpos.append(pos_f)
+            dist.append(d)
+            gid2.append(gidv)
+
+    return cpos, dist, gid2

@@ -94,12 +94,24 @@ def vmem_params():
 
 
 def chol_solve_spd(M, rhs, nv, jitter=0.0):
-    """Solve M x = rhs for SPD M in env-last layout: M (nv, nv, BE) (or
-    M[a] -> (nv, BE) rows), rhs (nv, BE). Unrolled Cholesky + substitution,
-    all (BE,) vector ops."""
-    l = [[None] * nv for _ in range(nv)]
+    """Solve M x = rhs for SPD M in env-last layout: M (nv, nv, E) (or
+    M[a] -> (nv, E) rows), rhs (nv, E). Unrolled scalar Cholesky +
+    substitution, all (E,) vector ops.
+
+    Measured note (v5e, flagship nv=19): the column-vectorized variant
+    below (chol_solve_spd_cols) runs FULL (nv, E) tile updates whose
+    rectangular (not triangular) arithmetic plus the per-column sublane
+    broadcasts cost more than the scalar form's 1/8-density row ops —
+    75.1k -> 71.6k env-steps/s when used for the in-kernel Hessian solve.
+    Keep the scalar form for nv <~ 24; revisit for larger-nv models."""
+    if isinstance(M, list):
+        l = [[None] * nv for _ in range(nv)]
+        get = lambda i, j: M[i][j]
+    else:
+        l = [[None] * nv for _ in range(nv)]
+        get = lambda i, j: M[i, j, :]
     for j in range(nv):
-        d = M[j][j] if isinstance(M, list) else M[j, j, :]
+        d = get(j, j)
         if jitter:
             d = d + jitter
         for k in range(j):
@@ -108,7 +120,7 @@ def chol_solve_spd(M, rhs, nv, jitter=0.0):
         inv = 1.0 / dj
         l[j][j] = dj
         for i in range(j + 1, nv):
-            s = M[i][j] if isinstance(M, list) else M[i, j, :]
+            s = get(i, j)
             for k in range(j):
                 s = s - l[i][k] * l[j][k]
             l[i][j] = s * inv
@@ -125,6 +137,50 @@ def chol_solve_spd(M, rhs, nv, jitter=0.0):
             s = s - l[k][i] * x[k]
         x[i] = s / l[i][i]
     return jnp.stack(x)
+
+
+def chol_solve_spd_cols(M, rhs, nv, jitter=0.0):
+    """Column-vectorized left-looking Cholesky solve (kept for larger-nv
+    experiments; see the measured note on chol_solve_spd).
+
+    Garbage-row discipline: column k of L is valid only at rows > k (its
+    diagonal lives in `diag`, rows < k hold junk from the unmasked tile
+    ops). Every read below respects that — factor updates read cols[k][j]
+    with j > k, the substitutions divide by `diag` and only read rows on
+    the valid side of each update."""
+    if isinstance(M, list):
+        A = jnp.stack([
+            r if not isinstance(r, list) else jnp.stack(r) for r in M
+        ])
+    else:
+        A = M  # (nv, nv, E)
+    cols, diag = [], []
+    for j in range(nv):
+        acc = A[:, j]  # (nv, E)
+        for k in range(j):
+            acc = acc - cols[k] * cols[k][j][None]
+        d = acc[j] + jitter if jitter else acc[j]
+        dj = jnp.sqrt(jnp.maximum(d, 1e-30))
+        cols.append(acc * (1.0 / dj)[None])
+        diag.append(dj)
+    # forward substitution: L y = rhs (column updates, k ascending)
+    acc = rhs if not isinstance(rhs, list) else jnp.stack(rhs)
+    ys = [None] * nv
+    for k in range(nv):
+        yk = acc[k] / diag[k]
+        ys[k] = yk
+        if k + 1 < nv:
+            acc = acc - cols[k] * yk[None]
+    # backward substitution: L' x = y (row-of-L updates, k descending)
+    Lm = jnp.stack(cols, axis=1)  # Lm[i, j] = L[i][j], valid for i > j
+    acc = jnp.stack(ys)
+    xs = [None] * nv
+    for k in range(nv - 1, -1, -1):
+        xk = acc[k] / diag[k]
+        xs[k] = xk
+        if k:
+            acc = acc - Lm[k] * xk[None]
+    return jnp.stack(xs)
 
 
 def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
@@ -182,6 +238,13 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
         p_jt = pyr["jt"]  # [3][nv] -> (ncon, BE)
         p_mu1, p_mu2 = pyr["mu1"], pyr["mu2"]  # (ncon, BE) or scalar
         p_ncon = pyr["ncon"]
+        # static liveness: dofs on NO candidate contact body's kinematic
+        # chain have all-zero axis rows — skip their contact terms in the
+        # Hessian/matvec/J'f passes entirely (arm/head dofs on the
+        # humanoids: ~25% of nv)
+        p_live = pyr.get("live") or [True] * nv
+        if not any(p_live):
+            p_live = [True] * nv
 
     # trailing env-block shape: (BE,) legacy lanes-only form or (S, 128)
     # sublane-packed groups — all row/scalar code below is shape-generic
@@ -379,14 +442,19 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
 
     def matvec_J(x):  # (nv, BE) -> (nrows, BE)
         if pyr is not None:
-            zn = p_jt[0][0] * x[0][None]
-            z1 = p_jt[1][0] * x[0][None]
-            z2 = p_jt[2][0] * x[0][None]
-            for k in range(1, nv):
+            zn = z1 = z2 = None
+            for k in range(nv):
+                if not p_live[k]:
+                    continue
                 xk = x[k][None]
-                zn = zn + p_jt[0][k] * xk
-                z1 = z1 + p_jt[1][k] * xk
-                z2 = z2 + p_jt[2][k] * xk
+                if zn is None:
+                    zn = p_jt[0][k] * xk
+                    z1 = p_jt[1][k] * xk
+                    z2 = p_jt[2][k] * xk
+                else:
+                    zn = zn + p_jt[0][k] * xk
+                    z1 = z1 + p_jt[1][k] * xk
+                    z2 = z2 + p_jt[2][k] * xk
             # BLOCKED facet layout (4 contiguous groups of ncon rows):
             # a pure concat — the per-contact interleaved layout needed a
             # sublane-stride shuffle per matvec that cost more than the
@@ -419,11 +487,16 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             f2c = p_mu2 * (ff2 - ff3)
             ftop = f[:p_s0] if p_s0 else None
             out = []
+            zero_r = fn[0] * 0.0
             for a in range(nv):
-                s = jnp.sum(
-                    p_jt[0][a] * fn + p_jt[1][a] * f1c + p_jt[2][a] * f2c,
-                    axis=0,
-                )
+                if p_live[a]:
+                    s = jnp.sum(
+                        p_jt[0][a] * fn + p_jt[1][a] * f1c
+                        + p_jt[2][a] * f2c,
+                        axis=0,
+                    )
+                else:
+                    s = zero_r
                 if p_s0:
                     s = s + jnp.sum(J[a] * ftop, axis=0)
                 out.append(s)
@@ -480,18 +553,26 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
             c_22 = p_mu2 * p_mu2 * w34
             wtop = w[:p_s0] if p_s0 else None
             U = [c_nn * p_jt[0][b] + c_n1 * p_jt[1][b] + c_n2 * p_jt[2][b]
-                 for b in range(nv)]
-            Vx = [c_n1 * p_jt[0][b] + c_11 * p_jt[1][b] for b in range(nv)]
-            Wx = [c_n2 * p_jt[0][b] + c_22 * p_jt[2][b] for b in range(nv)]
+                 if p_live[b] else None for b in range(nv)]
+            Vx = [c_n1 * p_jt[0][b] + c_11 * p_jt[1][b]
+                  if p_live[b] else None for b in range(nv)]
+            Wx = [c_n2 * p_jt[0][b] + c_22 * p_jt[2][b]
+                  if p_live[b] else None for b in range(nv)]
             for a in range(nv):
                 wja = wtop * J[a] if p_s0 else None
                 jn_a, j1_a, j2_a = p_jt[0][a], p_jt[1][a], p_jt[2][a]
                 for b in range(a, nv):
-                    s = jnp.sum(
-                        jn_a * U[b] + j1_a * Vx[b] + j2_a * Wx[b], axis=0
-                    )
-                    if p_s0:
-                        s = s + jnp.sum(wja * J[b], axis=0)
+                    if p_live[a] and p_live[b]:
+                        s = jnp.sum(
+                            jn_a * U[b] + j1_a * Vx[b] + j2_a * Wx[b],
+                            axis=0,
+                        )
+                        if p_s0:
+                            s = s + jnp.sum(wja * J[b], axis=0)
+                    elif p_s0:
+                        s = jnp.sum(wja * J[b], axis=0)
+                    else:
+                        s = 0.0
                     s = s + M[a, b, :]
                     if b == a:
                         s = s + 1e-12  # jitter, as in the XLA path
@@ -513,35 +594,9 @@ def solve_core(J, M, aref, D, R, floss_fl, act, asm, ws,
                     if b != a:
                         h[b][a] = s
 
-        # Cholesky H = L L' (unrolled, env-vector ops)
-        l = [[None] * nv for _ in range(nv)]
-        for j in range(nv):
-            d = h[j][j]
-            for k in range(j):
-                d = d - l[j][k] * l[j][k]
-            dj = jnp.sqrt(jnp.maximum(d, 1e-30))
-            inv = 1.0 / dj
-            l[j][j] = dj
-            for i in range(j + 1, nv):
-                s = h[i][j]
-                for k in range(j):
-                    s = s - l[i][k] * l[j][k]
-                l[i][j] = s * inv
-
-        # dx = -H^-1 grad  (forward + back substitution)
-        y = [None] * nv
-        for i in range(nv):
-            s = -grad[i]
-            for k in range(i):
-                s = s - l[i][k] * y[k]
-            y[i] = s / l[i][i]
-        dxs = [None] * nv
-        for i in range(nv - 1, -1, -1):
-            s = y[i]
-            for k in range(i + 1, nv):
-                s = s - l[k][i] * dxs[k]
-            dxs[i] = s / l[i][i]
-        dx = jnp.stack(dxs)  # (nv, BE)
+        # dx = -H^-1 grad (scalar-unrolled Cholesky; the column-vectorized
+        # variant measured slower at nv=19 — see chol_solve_spd)
+        dx = chol_solve_spd(h, [-g for g in grad], nv)  # (nv, BE)
 
         jv = matvec_J(dx)
         mdx = matvec_M(dx)

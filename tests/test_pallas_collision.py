@@ -29,7 +29,11 @@ def _poses(model, n, seed, drop):
     return jnp.asarray(qpos, jnp.float32)
 
 
-@pytest.mark.parametrize("drop", [0.012, -0.3])
+@pytest.mark.parametrize("drop", [0.012, -0.3, 0.45])
+# drop=0.45: deep drop puts limb MESH hulls in floor contact so the
+# manifold's neighbor slots (contacts 1-2) activate — regression for the
+# f32 cancellation bug that zeroed every neighbor depth (d1 + t1*(hc - d1)
+# with d1 = 1e10)
 def test_fused_select_topk_matches_xla(monkeypatch, drop):
     model = load_model(
         f"{REF_DATA}/humanoid/humanoid_torque.xml", dtype=jnp.float32
