@@ -345,6 +345,33 @@ class RowPlan:
                     raise ValueError("mesh tables exceed mega VMEM budget")
                 self.mega_tbl_bytes = tbl_bytes
                 self.mega = True
+                # fast/full branch specialization: the solve runs over a
+                # REDUCED static slot subset (all slots of k==P groups +
+                # the top LMT_FAST_RANKS depth-ranked pairs of top-k
+                # groups) whenever no env in the block has an
+                # outside-subset slot active — excluded inactive rows
+                # contribute exactly zero to cost/forces/Hessian, so the
+                # solution is identical up to summation order. Walking
+                # gaits keep only the deepest-ranked pairs in contact, so
+                # the reduced branch is the steady-state path.
+                import os as _os
+
+                rmax = int(_os.environ.get("LMT_FAST_RANKS", "2"))
+                fast = []
+                off = 0
+                for grp in self.colp.groups:
+                    gk, slots = grp["k"], grp["slots"]
+                    ranks = gk if gk == len(grp["pairs"]) else min(rmax, gk)
+                    for r in range(ranks):
+                        fast.extend(
+                            off + r * slots + s for s in range(slots)
+                        )
+                    off += gk * slots
+                self.mega_fast = (
+                    sorted(fast) if 0 < len(fast) < self.ncon else None
+                )
+                if _os.environ.get("LMT_FAST_BRANCH", "1") == "0":
+                    self.mega_fast = None
             except Exception:
                 self.mega = False
         self.ok = True
@@ -1212,365 +1239,414 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             finish_row(k, b, imp, pos, sign * qvel[r["v"]][None], r["iw"])
             act_parts.append((dist < r["margin"]).astype(f32))
 
-        # --- contacts ---
-        mu_all = None
-        if ncon:
-            if plan.uniform:
-                if ik_contacts is not None:
-                    # mega: slot data straight from the in-kernel collision
-                    # stage — never touches HBM in any layout
-                    ik_pos, ik_dist, ik_gid = ik_contacts
-                    from . import pallas_fk as pfk
+        # ------------------------------------------------------------------
+        # contacts + solve + writes. For mega models, the whole section is
+        # a closure over a STATIC slot subset so it can be instantiated
+        # twice under pl.when: a FULL branch (all slots) and a FAST branch
+        # (plan.mega_fast — all k==P slots + the top depth-ranked pairs of
+        # top-k groups), taken whenever no env in the block has an
+        # outside-subset slot active. Excluded inactive rows contribute
+        # exactly zero to cost/forces/Hessian, so the branches agree up to
+        # f32 summation order.
+        # ------------------------------------------------------------------
+        ncon_full = ncon
+        J_top, aref_top = J_parts, aref_parts
+        R_top, act_top = R_parts, act_parts
+        if mega and ncon:
+            # collision meta (GRF readout) covers ALL slots — written
+            # before the solve branches
+            wr(cdist_ref, jnp.stack(ik_contacts[1]))
+            wr(cgid_ref, jnp.stack(ik_contacts[2]))
 
-                    cpos = jnp.stack([
-                        jnp.stack([
-                            pfk.materialize(p[i], zero_env)
-                            for i in range(3)
-                        ])
-                        for p in ik_pos
-                    ])  # (ncon, 3, E)
-                    dist = jnp.stack(ik_dist)
-                    gid2 = jnp.stack(ik_gid)
-                    mu1 = plan.c_fric[0]
-                    mu2 = plan.c_fric[1]
-                else:
-                    # uniform statics: [pos(3) dist geom2 (fric(2))] —
-                    # frame, margin, kbi params and geom1's body are plan
-                    # constants
-                    cp = rd(cp_ref)
-                    cpos = cp[:, 0:3, :]
-                    dist = cp[:, 3, :]
-                    gid2 = cp[:, 4, :]
-                    if plan.fric_uniform:
+        def _rows_solve_write(sub):
+            ncon = ncon_full if sub is None else len(sub)
+            J_parts = [list(p) for p in J_top]
+            aref_parts = list(aref_top)
+            R_parts = list(R_top)
+            act_parts = list(act_top)
+            mu_all = None
+            if ncon:
+                if plan.uniform:
+                    if ik_contacts is not None:
+                        # mega: slot data straight from the in-kernel collision
+                        # stage — never touches HBM in any layout
+                        ik_pos, ik_dist, ik_gid = ik_contacts
+                        if sub is not None:
+                            ik_pos = [ik_pos[c] for c in sub]
+                            ik_dist = [ik_dist[c] for c in sub]
+                            ik_gid = [ik_gid[c] for c in sub]
+                        from . import pallas_fk as pfk
+
+                        cpos = jnp.stack([
+                            jnp.stack([
+                                pfk.materialize(p[i], zero_env)
+                                for i in range(3)
+                            ])
+                            for p in ik_pos
+                        ])  # (ncon, 3, E)
+                        dist = jnp.stack(ik_dist)
+                        gid2 = jnp.stack(ik_gid)
                         mu1 = plan.c_fric[0]
                         mu2 = plan.c_fric[1]
                     else:
-                        mu1 = cp[:, 5, :]
-                        mu2 = cp[:, 6, :]
-                frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
-                # body one-hots from the raw geom id (geom -> body is a
-                # static table; the plane's body 0 has an empty chain)
-                oh = {}
-                for bb, geoms in plan.body_geoms.items():
-                    if not plan.dofmask[bb].any():
-                        continue
-                    o = (gid2 == float(geoms[0])).astype(f32)
-                    for g in geoms[1:]:
-                        o = o + (gid2 == float(g)).astype(f32)
-                    oh[bb] = o
-                iwt = None
-                for bb, o in oh.items():
-                    if plan.body_iw[bb]:
-                        t = o * plan.body_iw[bb]
-                        iwt = t if iwt is None else iwt + t
-                if iwt is None:
-                    iwt = jnp.zeros_like(dist)
-            else:
-                # generic pack: [pos(3) frame(9) dist margin fric(nf)
-                #                solref(2) solimp(5) iw_t bid1 bid2]
-                nf = plan.nfric
-                cp = rd(cp_ref)
-                cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
-                frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
-                dist = cp[:, 12, :]      # (ncon, BE)
-                marg = cp[:, 13, :]
-                fric = cp[:, 14:14 + nf, :]   # (ncon, nf, BE)
-                srefc = cp[:, 14 + nf:16 + nf, :]  # (ncon, 2, BE)
-                simpc = cp[:, 16 + nf:21 + nf, :]  # (ncon, 5, BE)
-                iwt = cp[:, 21 + nf, :]       # (ncon, BE)
-                bid1 = cp[:, 22 + nf, :]
-                bid2 = cp[:, 23 + nf, :]
-                mu1 = fric[:, 0, :]
-                mu2 = fric[:, 1, :]
-
-                # chain-mask difference via body one-hots (bodyids are
-                # traced; the chain table is static so only bodies with
-                # nonempty chains contribute)
-                oh = {}
-                for bb in range(plan.nbody):
-                    if plan.dofmask[bb].any():
-                        oh[bb] = (bid2 == float(bb)).astype(f32) - (
-                            bid1 == float(bb)
-                        ).astype(f32)
-
-            offx = cpos[:, 0, :] - com_l[0][None]
-            offy = cpos[:, 1, :] - com_l[1][None]
-            offz = cpos[:, 2, :] - com_l[2][None]
-
-            jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
-            maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
-            for v in range(nv):
-                maskd = None
-                for bb, o in oh.items():
-                    if plan.dofmask[bb, v]:
-                        maskd = o if maskd is None else maskd + o
-                maskd_of[v] = maskd
-                if maskd is None:
-                    for t in range(3):
-                        jt[t][v] = jnp.zeros_like(dist)
-                    continue
-                ax = cdof(v, 0)[None]
-                ay = cdof(v, 1)[None]
-                az = cdof(v, 2)[None]
-                jp0 = (ay * offz - az * offy + cdof(v, 3)[None]) * maskd
-                jp1 = (az * offx - ax * offz + cdof(v, 4)[None]) * maskd
-                jp2 = (ax * offy - ay * offx + cdof(v, 5)[None]) * maskd
-                if plan.uniform:
-                    for t in range(3):
-                        jt[t][v] = (
-                            frame_c[t][0] * jp0
-                            + frame_c[t][1] * jp1
-                            + frame_c[t][2] * jp2
-                        )
+                        # uniform statics: [pos(3) dist geom2 (fric(2))] —
+                        # frame, margin, kbi params and geom1's body are plan
+                        # constants
+                        cp = rd(cp_ref)
+                        cpos = cp[:, 0:3, :]
+                        dist = cp[:, 3, :]
+                        gid2 = cp[:, 4, :]
+                        if plan.fric_uniform:
+                            mu1 = plan.c_fric[0]
+                            mu2 = plan.c_fric[1]
+                        else:
+                            mu1 = cp[:, 5, :]
+                            mu2 = cp[:, 6, :]
+                    frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
+                    # body one-hots from the raw geom id (geom -> body is a
+                    # static table; the plane's body 0 has an empty chain)
+                    oh = {}
+                    for bb, geoms in plan.body_geoms.items():
+                        if not plan.dofmask[bb].any():
+                            continue
+                        o = (gid2 == float(geoms[0])).astype(f32)
+                        for g in geoms[1:]:
+                            o = o + (gid2 == float(g)).astype(f32)
+                        oh[bb] = o
+                    iwt = None
+                    for bb, o in oh.items():
+                        if plan.body_iw[bb]:
+                            t = o * plan.body_iw[bb]
+                            iwt = t if iwt is None else iwt + t
+                    if iwt is None:
+                        iwt = jnp.zeros_like(dist)
                 else:
-                    for t in range(3):
-                        jt[t][v] = (
-                            frame[:, 3 * t + 0, :] * jp0
-                            + frame[:, 3 * t + 1, :] * jp1
-                            + frame[:, 3 * t + 2, :] * jp2
-                        )
+                    # generic pack: [pos(3) frame(9) dist margin fric(nf)
+                    #                solref(2) solimp(5) iw_t bid1 bid2]
+                    nf = plan.nfric
+                    cp = rd(cp_ref)
+                    cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
+                    frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
+                    dist = cp[:, 12, :]      # (ncon, BE)
+                    marg = cp[:, 13, :]
+                    fric = cp[:, 14:14 + nf, :]   # (ncon, nf, BE)
+                    srefc = cp[:, 14 + nf:16 + nf, :]  # (ncon, 2, BE)
+                    simpc = cp[:, 16 + nf:21 + nf, :]  # (ncon, 5, BE)
+                    iwt = cp[:, 21 + nf, :]       # (ncon, BE)
+                    bid1 = cp[:, 22 + nf, :]
+                    bid2 = cp[:, 23 + nf, :]
+                    mu1 = fric[:, 0, :]
+                    mu2 = fric[:, 1, :]
 
-            if plan.uniform:
-                pos_c = dist - plan.c_margin
-                kc, bc, impc = _kbi_static(
-                    plan, plan.c_solref, plan.c_solimp, pos_c
-                )
-                kc = kc if hasattr(kc, "shape") else jnp.full_like(pos_c, kc)
-                bc = bc if hasattr(bc, "shape") else jnp.full_like(pos_c, bc)
-                mu0 = mu1
-                act_c = (dist < plan.c_margin).astype(f32)
-            else:
-                pos_c = dist - marg
-                kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
-                mu0 = fric[:, 0, :]
-                act_c = (dist < marg).astype(f32)
+                    # chain-mask difference via body one-hots (bodyids are
+                    # traced; the chain table is static so only bodies with
+                    # nonempty chains contribute)
+                    oh = {}
+                    for bb in range(plan.nbody):
+                        if plan.dofmask[bb].any():
+                            oh[bb] = (bid2 == float(bb)).astype(f32) - (
+                                bid1 == float(bb)
+                            ).astype(f32)
 
-            # static liveness: dofs on no candidate body's chain have
-            # all-zero axis rows (maskd_of None) — skipped in every hot
-            # pass here and in solve_core (pyr["live"])
-            jt_live = [maskd_of[v] is not None for v in range(nv)]
+                offx = cpos[:, 0, :] - com_l[0][None]
+                offy = cpos[:, 1, :] - com_l[1][None]
+                offz = cpos[:, 2, :] - com_l[2][None]
 
-            # per-axis velocities (vel of any contact row is a combination)
-            vel_ax = []
-            for t in range(3):
-                s = None
+                jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
+                maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
                 for v in range(nv):
-                    if not jt_live[v]:
+                    maskd = None
+                    for bb, o in oh.items():
+                        if plan.dofmask[bb, v]:
+                            maskd = o if maskd is None else maskd + o
+                    maskd_of[v] = maskd
+                    if maskd is None:
+                        for t in range(3):
+                            jt[t][v] = jnp.zeros_like(dist)
                         continue
-                    term = jt[t][v] * qvel[v][None]
-                    s = term if s is None else s + term
-                if s is None:
-                    s = jnp.zeros_like(dist)
-                vel_ax.append(s)  # (ncon, E)
-            kimp = kc * impc * pos_c
-            R_nc = jnp.maximum(
-                (1.0 - impc) / jnp.maximum(impc, MINVAL) * iwt, MINVAL
-            )
+                    ax = cdof(v, 0)[None]
+                    ay = cdof(v, 1)[None]
+                    az = cdof(v, 2)[None]
+                    jp0 = (ay * offz - az * offy + cdof(v, 3)[None]) * maskd
+                    jp1 = (az * offx - ax * offz + cdof(v, 4)[None]) * maskd
+                    jp2 = (ax * offy - ay * offx + cdof(v, 5)[None]) * maskd
+                    if plan.uniform:
+                        for t in range(3):
+                            jt[t][v] = (
+                                frame_c[t][0] * jp0
+                                + frame_c[t][1] * jp1
+                                + frame_c[t][2] * jp2
+                            )
+                    else:
+                        for t in range(3):
+                            jt[t][v] = (
+                                frame[:, 3 * t + 0, :] * jp0
+                                + frame[:, 3 * t + 1, :] * jp1
+                                + frame[:, 3 * t + 2, :] * jp2
+                            )
 
-            if not plan.elliptic:
-                # condim-3 pyramid: the 4 facet rows per slot are NOT
-                # materialized into J — solve_core's axis form (pyr) runs
-                # the hot passes on the 3 axis rows jt[t][v] directly
-                # (25-30% fewer row ops in Hessian/matvec/grad)
+                if plan.uniform:
+                    pos_c = dist - plan.c_margin
+                    kc, bc, impc = _kbi_static(
+                        plan, plan.c_solref, plan.c_solimp, pos_c
+                    )
+                    kc = kc if hasattr(kc, "shape") else jnp.full_like(pos_c, kc)
+                    bc = bc if hasattr(bc, "shape") else jnp.full_like(pos_c, bc)
+                    mu0 = mu1
+                    act_c = (dist < plan.c_margin).astype(f32)
+                else:
+                    pos_c = dist - marg
+                    kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
+                    mu0 = fric[:, 0, :]
+                    act_c = (dist < marg).astype(f32)
 
-                def rep4(x):  # (ncon, E) -> (4*ncon, E), BLOCKED layout
-                    return jnp.concatenate([x, x, x, x], axis=0)
+                # static liveness: dofs on no candidate body's chain have
+                # all-zero axis rows (maskd_of None) — skipped in every hot
+                # pass here and in solve_core (pyr["live"])
+                jt_live = [maskd_of[v] is not None for v in range(nv)]
 
-                # blocked facet layout: rows [all +mu1 | all -mu1 |
-                # all +mu2 | all -mu2] — matches solve_core's pyr form;
-                # fused_constraint remaps to per-contact order on output
-                aref_parts.append(jnp.concatenate(
-                    [-bc * (vel_ax[0] + mu1 * vel_ax[1]) - kimp,
-                     -bc * (vel_ax[0] - mu1 * vel_ax[1]) - kimp,
-                     -bc * (vel_ax[0] + mu2 * vel_ax[2]) - kimp,
-                     -bc * (vel_ax[0] - mu2 * vel_ax[2]) - kimp],
-                    axis=0,
-                ))
-                riw_f = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
-                R_parts.append(rep4(jnp.maximum(R_nc * riw_f, MINVAL)))
-                act_parts.append(rep4(act_c))
-            else:
-                # elliptic cones: per contiguous equal-dim run, dim rows per
-                # slot (normal + tangentials [+ torsion/rolling]); friction
-                # rows get aref = -b*vel and the impratio-scaled R
-                # (constraint.py:444-452). Zone logic lives in solve_core.
-                mu_parts = []
-                i = 0
-                while i < ncon:
-                    d = plan.con_dims[i]
-                    j = i
-                    while j < ncon and plan.con_dims[j] == d:
-                        j += 1
-                    cnt = j - i
-                    sl = slice(i, j)
-                    if d == 1:
-                        # frictionless: one unilateral row
-                        for v in range(nv):
-                            J_parts[v].append(jt[0][v][sl])
-                        aref_parts.append(-bc[sl] * vel_ax[0][sl] - kimp[sl])
-                        R_parts.append(R_nc[sl])
-                        act_parts.append(act_c[sl])
-                        i = j
-                        continue
-                    # angular rows (torsion + rolling) only for this run's
-                    # slots — a full (ncon, E) ja per dof/axis would cost
-                    # another ~2 MB of VMEM on A1
-                    ja_run = None
-                    if d > 3:
-                        ja_run = [[None] * nv for _ in range(3)]
-                        for v in range(nv):
-                            maskd = maskd_of[v]
-                            if maskd is None:
-                                z = jnp.zeros((cnt, *eshape), dtype=f32)
-                                for t in range(3):
-                                    ja_run[t][v] = z
-                                continue
-                            ms = maskd[sl]
-                            jr0 = cdof(v, 0)[None] * ms
-                            jr1 = cdof(v, 1)[None] * ms
-                            jr2 = cdof(v, 2)[None] * ms
-                            for t in range(3):
-                                ja_run[t][v] = (
-                                    frame[:, 3 * t + 0, :][sl] * jr0
-                                    + frame[:, 3 * t + 1, :][sl] * jr1
-                                    + frame[:, 3 * t + 2, :][sl] * jr2
-                                )
+                # per-axis velocities (vel of any contact row is a combination)
+                vel_ax = []
+                for t in range(3):
+                    s = None
                     for v in range(nv):
-                        rows_v = [jt[t][v][sl] for t in range(min(d, 3))]
-                        if d > 3:
-                            rows_v += [ja_run[t][v] for t in range(d - 3)]
-                        blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
-                        J_parts[v].append(blk.reshape(cnt * d, *eshape))
-
-                    # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
-                    vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
-                    if d > 3:
-                        for t in range(d - 3):
-                            s = ja_run[t][0] * qvel[0][None]
-                            for v in range(1, nv):
-                                s = s + ja_run[t][v] * qvel[v][None]
-                            vel_rows.append(s)
-                    aref_rows = [-bc[sl] * vel_rows[0] - kimp[sl]]
-                    for t in range(1, d):
-                        aref_rows.append(-bc[sl] * vel_rows[t])
-                    aref_parts.append(
-                        jnp.stack(aref_rows, axis=1).reshape(cnt * d, *eshape)
-                    )
-                    m0 = mu0[sl]
-                    R_rows = [R_nc[sl]]
-                    for t in range(1, d):
-                        mui = fric[:, t - 1, :][sl]
-                        R_rows.append(jnp.maximum(
-                            R_nc[sl] * m0 * m0
-                            / (jnp.maximum(mui * mui, MINVAL)
-                               * plan.impratio),
-                            MINVAL,
-                        ))
-                    R_parts.append(
-                        jnp.stack(R_rows, axis=1).reshape(cnt * d, *eshape)
-                    )
-                    act_parts.append(jnp.stack(
-                        [act_c[sl]] * d, axis=1
-                    ).reshape(cnt * d, *eshape))
-                    mu_parts.append(m0 / (plan.impratio ** 0.5))
-                    i = j
-                mu_all = (
-                    jnp.concatenate(mu_parts, axis=0) if mu_parts else None
+                        if not jt_live[v]:
+                            continue
+                        term = jt[t][v] * qvel[v][None]
+                        s = term if s is None else s + term
+                    if s is None:
+                        s = jnp.zeros_like(dist)
+                    vel_ax.append(s)  # (ncon, E)
+                kimp = kc * impc * pos_c
+                R_nc = jnp.maximum(
+                    (1.0 - impc) / jnp.maximum(impc, MINVAL) * iwt, MINVAL
                 )
 
-        # ------------------------------------------------------------------
-        # stitch rows and solve
-        # ------------------------------------------------------------------
-        J = [
-            jnp.concatenate(J_parts[v], axis=0) if J_parts[v] else None
-            for v in range(nv)
-        ]
-        aref = jnp.concatenate(aref_parts, axis=0)
-        R = jnp.concatenate(R_parts, axis=0)
-        act = jnp.concatenate(act_parts, axis=0)
-        D = 1.0 / R
-        if plan.nfl:
-            floss_fl = jnp.concatenate(
-                [jnp.full((1, *eshape), r["floss"], dtype=f32) for r in plan.fl],
-                axis=0,
-            )
-        else:
-            floss_fl = jnp.zeros((1, *eshape), dtype=f32)
+                if not plan.elliptic:
+                    # condim-3 pyramid: the 4 facet rows per slot are NOT
+                    # materialized into J — solve_core's axis form (pyr) runs
+                    # the hot passes on the 3 axis rows jt[t][v] directly
+                    # (25-30% fewer row ops in Hessian/matvec/grad)
 
-        s0 = plan.ne + plan.nfl + plan.nl
-        pyr = None
-        if ncon and not plan.elliptic:
-            pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
-                       live=jt_live)
+                    def rep4(x):  # (ncon, E) -> (4*ncon, E), BLOCKED layout
+                        return jnp.concatenate([x, x, x, x], axis=0)
 
-        x, force = pn.solve_core(
-            J, M, aref, D, R, floss_fl, act, asm, ws,
-            nv, iterations, ls_iterations, plan.ne, plan.nfl,
-            ell_runs=plan.ell_runs if plan.elliptic else (),
-            ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
-        )
-
-        wr(x_ref, x)
-        if not mega:
-            wr(force_ref, force)
-        else:
-            # contact meta for the GRF readout (support.contact_force_groups)
-            # and the efc_force_contact per-slot forces, emitted directly
-            # from the VMEM-resident force rows (blocked facet layout:
-            # facet f of slot c lives at s0 + f*ncon + c)
-            wr(cdist_ref, dist)
-            wr(cgid_ref, gid2)
-            cf_rows = []
-            for c in range(ncon):
-                for f in range(maxd):
-                    if f < 4:
-                        cf_rows.append(force[s0 + f * ncon + c])
-                    else:
-                        cf_rows.append(zero_env)
-            wr(cforce_ref, jnp.stack(cf_rows))
-        if pyr is not None:
-            ffc0 = force[s0:s0 + ncon]
-            ffc1 = force[s0 + ncon:s0 + 2 * ncon]
-            ffc2 = force[s0 + 2 * ncon:s0 + 3 * ncon]
-            ffc3 = force[s0 + 3 * ncon:s0 + 4 * ncon]
-            fn = ffc0 + ffc1 + ffc2 + ffc3
-            f1c = mu1 * (ffc0 - ffc1)
-            f2c = mu2 * (ffc2 - ffc3)
-            ftop = force[:s0] if s0 else None
-            qfrc = []
-            live = pyr["live"]
-            for v in range(nv):
-                if live[v]:
-                    s = jnp.sum(
-                        jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c,
+                    # blocked facet layout: rows [all +mu1 | all -mu1 |
+                    # all +mu2 | all -mu2] — matches solve_core's pyr form;
+                    # fused_constraint remaps to per-contact order on output
+                    aref_parts.append(jnp.concatenate(
+                        [-bc * (vel_ax[0] + mu1 * vel_ax[1]) - kimp,
+                         -bc * (vel_ax[0] - mu1 * vel_ax[1]) - kimp,
+                         -bc * (vel_ax[0] + mu2 * vel_ax[2]) - kimp,
+                         -bc * (vel_ax[0] - mu2 * vel_ax[2]) - kimp],
                         axis=0,
-                    )
+                    ))
+                    riw_f = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+                    R_parts.append(rep4(jnp.maximum(R_nc * riw_f, MINVAL)))
+                    act_parts.append(rep4(act_c))
                 else:
-                    s = zero_env
-                if s0:
-                    s = s + jnp.sum(J[v] * ftop, axis=0)
-                qfrc.append(s)
-            wr(qfrc_ref, jnp.stack(qfrc))
-        else:
-            wr(qfrc_ref, jnp.stack(
-                [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
-            ))
-        wr(asm_ref, asm)
+                    # elliptic cones: per contiguous equal-dim run, dim rows per
+                    # slot (normal + tangentials [+ torsion/rolling]); friction
+                    # rows get aref = -b*vel and the impratio-scaled R
+                    # (constraint.py:444-452). Zone logic lives in solve_core.
+                    mu_parts = []
+                    i = 0
+                    while i < ncon:
+                        d = plan.con_dims[i]
+                        j = i
+                        while j < ncon and plan.con_dims[j] == d:
+                            j += 1
+                        cnt = j - i
+                        sl = slice(i, j)
+                        if d == 1:
+                            # frictionless: one unilateral row
+                            for v in range(nv):
+                                J_parts[v].append(jt[0][v][sl])
+                            aref_parts.append(-bc[sl] * vel_ax[0][sl] - kimp[sl])
+                            R_parts.append(R_nc[sl])
+                            act_parts.append(act_c[sl])
+                            i = j
+                            continue
+                        # angular rows (torsion + rolling) only for this run's
+                        # slots — a full (ncon, E) ja per dof/axis would cost
+                        # another ~2 MB of VMEM on A1
+                        ja_run = None
+                        if d > 3:
+                            ja_run = [[None] * nv for _ in range(3)]
+                            for v in range(nv):
+                                maskd = maskd_of[v]
+                                if maskd is None:
+                                    z = jnp.zeros((cnt, *eshape), dtype=f32)
+                                    for t in range(3):
+                                        ja_run[t][v] = z
+                                    continue
+                                ms = maskd[sl]
+                                jr0 = cdof(v, 0)[None] * ms
+                                jr1 = cdof(v, 1)[None] * ms
+                                jr2 = cdof(v, 2)[None] * ms
+                                for t in range(3):
+                                    ja_run[t][v] = (
+                                        frame[:, 3 * t + 0, :][sl] * jr0
+                                        + frame[:, 3 * t + 1, :][sl] * jr1
+                                        + frame[:, 3 * t + 2, :][sl] * jr2
+                                    )
+                        for v in range(nv):
+                            rows_v = [jt[t][v][sl] for t in range(min(d, 3))]
+                            if d > 3:
+                                rows_v += [ja_run[t][v] for t in range(d - 3)]
+                            blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
+                            J_parts[v].append(blk.reshape(cnt * d, *eshape))
 
-        if plan.euler_dv:
-            # Euler implicit damping: dv = (M + h diag(damping))^-1 M x —
-            # reuses the VMEM-resident M so the integrator needs no qM
-            h = plan.timestep
-            mq = jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
-            mh = [
-                [
-                    M[a, b] + h * plan.dof_damping[a]
-                    if a == b else M[a, b]
-                    for b in range(nv)
-                ]
-                for a in range(nv)
+                        # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
+                        vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
+                        if d > 3:
+                            for t in range(d - 3):
+                                s = ja_run[t][0] * qvel[0][None]
+                                for v in range(1, nv):
+                                    s = s + ja_run[t][v] * qvel[v][None]
+                                vel_rows.append(s)
+                        aref_rows = [-bc[sl] * vel_rows[0] - kimp[sl]]
+                        for t in range(1, d):
+                            aref_rows.append(-bc[sl] * vel_rows[t])
+                        aref_parts.append(
+                            jnp.stack(aref_rows, axis=1).reshape(cnt * d, *eshape)
+                        )
+                        m0 = mu0[sl]
+                        R_rows = [R_nc[sl]]
+                        for t in range(1, d):
+                            mui = fric[:, t - 1, :][sl]
+                            R_rows.append(jnp.maximum(
+                                R_nc[sl] * m0 * m0
+                                / (jnp.maximum(mui * mui, MINVAL)
+                                   * plan.impratio),
+                                MINVAL,
+                            ))
+                        R_parts.append(
+                            jnp.stack(R_rows, axis=1).reshape(cnt * d, *eshape)
+                        )
+                        act_parts.append(jnp.stack(
+                            [act_c[sl]] * d, axis=1
+                        ).reshape(cnt * d, *eshape))
+                        mu_parts.append(m0 / (plan.impratio ** 0.5))
+                        i = j
+                    mu_all = (
+                        jnp.concatenate(mu_parts, axis=0) if mu_parts else None
+                    )
+
+            # ------------------------------------------------------------------
+            # stitch rows and solve
+            # ------------------------------------------------------------------
+            J = [
+                jnp.concatenate(J_parts[v], axis=0) if J_parts[v] else None
+                for v in range(nv)
             ]
-            wr(extra_refs[0], pn.chol_solve_spd(mh, mq, nv))
+            aref = jnp.concatenate(aref_parts, axis=0)
+            R = jnp.concatenate(R_parts, axis=0)
+            act = jnp.concatenate(act_parts, axis=0)
+            D = 1.0 / R
+            if plan.nfl:
+                floss_fl = jnp.concatenate(
+                    [jnp.full((1, *eshape), r["floss"], dtype=f32) for r in plan.fl],
+                    axis=0,
+                )
+            else:
+                floss_fl = jnp.zeros((1, *eshape), dtype=f32)
+
+            s0 = plan.ne + plan.nfl + plan.nl
+            pyr = None
+            if ncon and not plan.elliptic:
+                pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
+                           live=jt_live)
+
+            x, force = pn.solve_core(
+                J, M, aref, D, R, floss_fl, act, asm, ws,
+                nv, iterations, ls_iterations, plan.ne, plan.nfl,
+                ell_runs=plan.ell_runs if plan.elliptic else (),
+                ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
+            )
+
+            wr(x_ref, x)
+            if not mega:
+                wr(force_ref, force)
+            else:
+                # efc_force_contact per-slot forces over the FULL slot
+                # layout, emitted from the VMEM-resident force rows
+                # (blocked facet layout: facet f of subset slot i lives at
+                # s0 + f*ncon + i; slots outside the subset carry zero
+                # force by construction)
+                pos_of = (
+                    {c: i for i, c in enumerate(sub)}
+                    if sub is not None else None
+                )
+                cf_rows = []
+                for c_full in range(ncon_full):
+                    ci = c_full if pos_of is None else pos_of.get(c_full)
+                    for f in range(maxd):
+                        if ci is not None and f < 4:
+                            cf_rows.append(force[s0 + f * ncon + ci])
+                        else:
+                            cf_rows.append(zero_env)
+                wr(cforce_ref, jnp.stack(cf_rows))
+            if pyr is not None:
+                ffc0 = force[s0:s0 + ncon]
+                ffc1 = force[s0 + ncon:s0 + 2 * ncon]
+                ffc2 = force[s0 + 2 * ncon:s0 + 3 * ncon]
+                ffc3 = force[s0 + 3 * ncon:s0 + 4 * ncon]
+                fn = ffc0 + ffc1 + ffc2 + ffc3
+                f1c = mu1 * (ffc0 - ffc1)
+                f2c = mu2 * (ffc2 - ffc3)
+                ftop = force[:s0] if s0 else None
+                qfrc = []
+                live = pyr["live"]
+                for v in range(nv):
+                    if live[v]:
+                        s = jnp.sum(
+                            jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c,
+                            axis=0,
+                        )
+                    else:
+                        s = zero_env
+                    if s0:
+                        s = s + jnp.sum(J[v] * ftop, axis=0)
+                    qfrc.append(s)
+                wr(qfrc_ref, jnp.stack(qfrc))
+            else:
+                wr(qfrc_ref, jnp.stack(
+                    [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
+                ))
+
+
+            if plan.euler_dv:
+                # Euler implicit damping: dv = (M + h diag(damping))^-1 M x —
+                # reuses the VMEM-resident M so the integrator needs no qM
+                h = plan.timestep
+                mq = jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
+                mh = [
+                    [
+                        M[a, b] + h * plan.dof_damping[a]
+                        if a == b else M[a, b]
+                        for b in range(nv)
+                    ]
+                    for a in range(nv)
+                ]
+                wr(extra_refs[0], pn.chol_solve_spd(mh, mq, nv))
+        if mega and ncon and plan.mega_fast is not None:
+            outside = sorted(set(range(ncon)) - set(plan.mega_fast))
+            act_out = jnp.stack([ik_contacts[1][c] for c in outside])
+            cond = jnp.max(
+                jnp.where(act_out < plan.c_margin, 1.0, 0.0)
+            ) > 0.0
+
+            @pl.when(cond)
+            def _full_branch():
+                _rows_solve_write(None)
+
+            @pl.when(jnp.logical_not(cond))
+            def _fast_branch():
+                _rows_solve_write(plan.mega_fast)
+        else:
+            _rows_solve_write(None)
+        wr(asm_ref, asm)
 
     return kernel
 

@@ -99,6 +99,37 @@ def test_mega_forward_matches_xla(humanoid_states, monkeypatch):
         assert err / scale < 5e-4, (what, err, scale)
 
 
+def test_mega_full_branch_matches_xla(humanoid_states, monkeypatch):
+    """Deep-dropped states put limb MESH hulls in floor contact, so slots
+    OUTSIDE the fast subset activate and the kernel's FULL solve branch
+    runs (walking states only ever exercise the fast branch)."""
+    env, st = humanoid_states
+    m = env.model
+    qpos = st.data.qpos.at[:, 2].add(-0.45)
+    datas = st.data.replace(qpos=qpos)
+
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega and plan.mega_fast is not None
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(lambda d: _fwd_all(m, d)))(datas)
+    # the dropped pose must actually activate outside-subset slots
+    marg = float(np.asarray(d0.contact.includemargin)[0])
+    act = np.asarray(ref[3]) < marg
+    outside = sorted(set(range(plan.ncon)) - set(plan.mega_fast))
+    assert act[:, outside].any(), "fixture no longer hits the full branch"
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    mega = jax.jit(jax.vmap(lambda d: _fwd_all(m, d)))(datas)
+
+    scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
+    for r, g, what in zip(ref[:3], mega[:3], ("qacc", "qfrc", "efc_fc")):
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
+
+
 @pytest.mark.parametrize("task", [
     "UnitreeH1.walk.real",     # Euler; plane-cyl (k==P) + mesh group
     "Atlas.walk.real",         # RK4; top-k plane-cyl + top-k plane-box
