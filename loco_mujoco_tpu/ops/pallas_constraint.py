@@ -159,6 +159,7 @@ class RowPlan:
         ) else 0
         self.nv = model.nv
         self.nq = model.nq
+        self.na = model.na
         self.ne = len(self.eq)
         self.nfl = len(self.fl)
         self.nl = len(self.lim)
@@ -296,6 +297,7 @@ class RowPlan:
         # no tendons and no activation states the whole smooth stage is
         # static-table scalar math the kernel runs from FK outputs.
         self.smooth = False
+        self.smooth_mu = False
         try:
             self._build_smooth(model, opt)
         except Exception:
@@ -323,11 +325,19 @@ class RowPlan:
         # the smooth+uniform envelope plus static FK/collision tables
         # (pallas_fk.FkPlan/ColPlan raise on anything unsupported).
         self.mega = False
-        if (self.smooth and self.uniform and self.fric_uniform
+        self.mp = None
+        if (self.uniform and self.fric_uniform
                 and not self.elliptic and self.ncon):
             try:
                 from . import pallas_fk as pfk
 
+                if not self.smooth:
+                    # muscle variant: same smooth tables (tendon-muscle
+                    # actuators handled by the MusclePlan block)
+                    self._build_smooth(model, model.opt, allow_muscle=True)
+                    if not self.smooth_mu:
+                        raise ValueError("smooth tables unavailable")
+                    self.mp = pfk.MusclePlan(model, _conc)
                 self.fkp = pfk.FkPlan(model, _conc)
                 self.colp = pfk.ColPlan(model, _conc)
                 if self.colp.ncon != self.ncon:
@@ -374,9 +384,11 @@ class RowPlan:
                     self.mega_fast = None
             except Exception:
                 self.mega = False
+                self.smooth_mu = False
+                self.mp = None
         self.ok = True
 
-    def _build_smooth(self, model: Model, opt):
+    def _build_smooth(self, model: Model, opt, allow_muscle=False):
         """Static tables for the in-kernel smooth stage (com, cinert,
         cdof, RNE bias, joint springs/dampers, motor actuation, xfrc
         projection). Mirrors kinematics.com_pos + velocity.com_vel/rne +
@@ -384,10 +396,17 @@ class RowPlan:
         no activation states, joint-transmission actuators and
         fixed/affine gain/bias — the full torque-robot family. Leaves it
         off (self.smooth False) on any unsupported feature or traced
-        (domain-randomized) leaf."""
+        (domain-randomized) leaf.
+
+        allow_muscle: the MEGA-only muscle variant — tendon-transmission
+        MUSCLE actuators (and their activation states) are handled by a
+        separate in-kernel tendon/muscle block (pallas_fk.MusclePlan), so
+        they're skipped here rather than rejected; sets `smooth_mu`
+        instead of `smooth` so the STAGED pipeline's smooth gates (which
+        would skip the tendon stage) are untouched."""
         from ..core.types import BiasType, DynType, GainType, JointType, TrnType
 
-        if model.ntendon or model.na:
+        if not allow_muscle and (model.ntendon or model.na):
             return
         # (no fluid-force gate needed: the engine models none — all robot
         # XMLs have density = viscosity = 0; see ops/passive.py)
@@ -420,6 +439,8 @@ class RowPlan:
                 return
             (trn, trnid, gt, bt, dyn, gear, gp, bp, cr, cl, fr, fl2) = avals
             for u in range(nu):
+                if allow_muscle and int(trn[u]) == int(TrnType.TENDON):
+                    continue  # MusclePlan covers tendon-muscle actuators
                 if int(trn[u]) not in (
                     int(TrnType.JOINT), int(TrnType.JOINTINPARENT)
                 ):
@@ -434,6 +455,8 @@ class RowPlan:
                     return
                 j = int(trnid[u, 0])
                 acts.append(dict(
+                    u=u,  # ACTUATOR index (ctrl slot) — differs from the
+                    # sm_acts position when muscle actuators are skipped
                     q=int(jqadr[j]), v=int(jdadr[j]),
                     gear=float(gear[u, 0]),
                     gain=[float(x) for x in gp[u, :3]],
@@ -488,7 +511,10 @@ class RowPlan:
         self.sm_passive_on = not (opt.disableflags & DisableBit.PASSIVE)
         self.sm_actuation_on = not (opt.disableflags & DisableBit.ACTUATION)
         self.sm_clampctrl = not (opt.disableflags & DisableBit.CLAMPCTRL)
-        self.smooth = True
+        if allow_muscle:
+            self.smooth_mu = True
+        else:
+            self.smooth = True
 
     def _check_uniform(self, model: Model):
         from .collision import contact_groups
@@ -769,7 +795,8 @@ class _MegaAcc:
         self.fk = fk
         self._mat = pfk.materialize
         self._zero = zero
-        self.o_ctrl = nq + nv
+        self.o_act = nq + nv
+        self.o_ctrl = self.o_act + plan.na
         self.o_app = self.o_ctrl + nu
         self.o_xfrc = self.o_app + nv
         self.o_ws = self.o_xfrc + 6 * nb
@@ -975,8 +1002,8 @@ def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero):
     # (actuation.actuation with dyntype NONE) ---
     qact = [zero] * nv
     if plan.sm_actuation_on:
-        for iu, a in enumerate(plan.sm_acts):
-            c = acc.ctrl(iu)
+        for a in plan.sm_acts:
+            c = acc.ctrl(a["u"])
             if plan.sm_clampctrl and a["clo"] is not None:
                 c = jnp.clip(c, a["clo"], a["chi"])
             gain = a["gain"][0]
@@ -1050,11 +1077,15 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # arrays so any power-of-two S lowers — see _fused_batched); drop
         # it on read. Lanes layout: blocks are already (K..., BE).
         if mega:
+            from . import pallas_fk as pfk
+
             n_tbl = plan.colp.n_mesh_tables
+            n_mtbl = pfk.N_MUSCLE_TABLES if plan.mp is not None else 0
             vp_ref = refs[0]
             tbl_refs = refs[1:1 + n_tbl]
+            mus_refs = refs[1 + n_tbl:1 + n_tbl + n_mtbl]
             (x_ref, qfrc_ref, asm_ref, cdist_ref, cgid_ref,
-             cforce_ref, *extra_refs) = refs[1 + n_tbl:]
+             cforce_ref, *extra_refs) = refs[1 + n_tbl + n_mtbl:]
             cp_ref = force_ref = None
         else:
             (vp_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
@@ -1077,19 +1108,38 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         ik_contacts = None
 
         if mega:
-            from . import pallas_fk as pfk
-
             fkres = pfk.fk_env_block(plan.fkp, lambda q: qpos[q])
             if ncon:
                 ik_contacts = pfk.collide_env_block(
                     plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
                 )
+            acc_m = _MegaAcc(plan, vp, fkres, zero_env)
             (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
-                _smooth_preamble(
-                    plan, _MegaAcc(plan, vp, fkres, zero_env),
-                    qpos, qvel, zero_env,
-                )
+                _smooth_preamble(plan, acc_m, qpos, qvel, zero_env)
             )
+            if plan.mp is not None:
+                # tendon + muscle-FLV stage (MXU form); act_dot is an
+                # integrator input, emitted alongside the solve outputs
+                mp = plan.mp
+                act_row = (
+                    lambda i: vp[acc_m.o_act + mp.act_adr[i]]
+                )
+                ctrl_row = lambda i: vp[acc_m.o_ctrl + mp.mus[i]]
+                qfrc_mus, mus_act_dot = pfk.muscle_env_block(
+                    mp, fkres, com_l, cdof_tab, qvel, act_row,
+                    ctrl_row, mus_refs, zero_env,
+                )
+                qfs_vec = qfs_vec + qfrc_mus
+                adot_ref = extra_refs[1 if plan.euler_dv else 0]
+                if mp.act_adr == list(range(plan.na)):
+                    wr(adot_ref, mus_act_dot)
+                else:
+                    inv = [0] * plan.na
+                    for i, a_s in enumerate(mp.act_adr):
+                        inv[a_s] = i
+                    wr(adot_ref, jnp.stack(
+                        [mus_act_dot[inv[a_s]] for a_s in range(plan.na)]
+                    ))
 
             def cdof(v, i):
                 return cdof_tab[v][i]
@@ -1927,6 +1977,13 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
         specs.append(pl.BlockSpec(
             tbl.shape, lambda e: (0, 0, 0), memory_space=pltpu.VMEM
         ))
+    if plan.mp is not None:
+        for tbl in plan.mp.table_arrays():
+            ins.append(tbl)
+            specs.append(pl.BlockSpec(
+                tbl.shape, lambda e: (0,) * tbl.ndim,
+                memory_space=pltpu.VMEM,
+            ))
 
     nv, ncon = plan.nv, plan.ncon
     kernel = _make_fused_kernel(
@@ -1940,6 +1997,8 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
     ks = [nv, nv, nv, ncon, ncon, ncon * _MEGA_MAXD]
     if plan.euler_dv:
         ks.append(nv)
+    if plan.mp is not None:
+        ks.append(plan.na)
     outs = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -1968,7 +2027,7 @@ def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
     if hit is not None:
         return hit
 
-    n_out = 7 if plan.euler_dv else 6
+    n_out = 6 + int(plan.euler_dv) + int(plan.mp is not None)
 
     def solve_b(vec):
         return _mega_batched(plan, iterations, ls_iterations, scale,
@@ -2005,12 +2064,17 @@ def mega_forward(model: Model, data, plan: RowPlan):
     )
     dtype = data.qpos.dtype
     vec = jnp.concatenate([
-        data.qpos, data.qvel, data.ctrl, data.qfrc_applied,
+        data.qpos, data.qvel, data.act, data.ctrl, data.qfrc_applied,
         data.xfrc_applied.reshape(-1), data.qacc_warmstart,
     ]).astype(dtype)
     outs = solver_fn(vec)
     x, qfrc, asm, cdist, cgid, cforce = outs[:6]
-    euler_dv = outs[6].astype(dtype) if plan.euler_dv else None
+    nxt = 6
+    euler_dv = None
+    if plan.euler_dv:
+        euler_dv = outs[nxt].astype(dtype)
+        nxt += 1
+    act_dot = outs[nxt].astype(dtype) if plan.mp is not None else None
 
     ncon = plan.ncon
     con = data.contact
@@ -2032,7 +2096,7 @@ def mega_forward(model: Model, data, plan: RowPlan):
     else:
         efc = efc[:, :maxd]
 
-    return data.replace(
+    out = data.replace(
         qacc=x.astype(dtype),
         qacc_smooth=asm.astype(dtype),
         qfrc_constraint=qfrc.astype(dtype),
@@ -2040,3 +2104,6 @@ def mega_forward(model: Model, data, plan: RowPlan):
         euler_dv=euler_dv,
         contact=contact,
     )
+    if act_dot is not None:
+        out = out.replace(act_dot=act_dot)
+    return out

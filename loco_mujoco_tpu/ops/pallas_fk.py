@@ -688,7 +688,7 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
             qp_list.append(qp)
             R2_list.append(Rb)
 
-        def scoped(d0_ref, vsel_ref, subs=subs, my_tbls=my_tbls,
+        def scoped(d0_ref, vsel_ref, slot_ref, subs=subs, my_tbls=my_tbls,
                    a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
                    R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
                    g=g):
@@ -805,8 +805,16 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                 jnp.int32, (P,) + (1,) * len(eshape), 0
             ).astype(f32)
 
-            outs = []
+            gid0 = float(mesh_pairs[0]["gid"])
             for s in range(k):
+                # selection bookkeeping is unconditional (cheap, and
+                # `key` threads through the python loop); the one-hot
+                # gathers + world transforms — the expensive part — run
+                # only while some env still has an active (key < 0) pair
+                # left at this rank. Keys only grow across ranks, so a
+                # skipped rank implies all later ranks skip too; fallback
+                # rows (dist = BIG -> act 0, slot-0 gid, zero pos) are
+                # never read by the solver.
                 m = jnp.min(key, axis=0, keepdims=True)
                 i = jnp.min(
                     jnp.where(key == m, iota_p, float(P)),
@@ -814,37 +822,399 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                 )
                 oh = (iota_p == i).astype(f32)  # (P, BE)
                 key = jnp.where(oh > 0, _BIG, key)
-                ohe = oh[:, None]
-                dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
-                vs = jnp.sum(ohe * vsel_all, axis=0)     # (9, BE)
-                meta = jnp.sum(ohe * pair_tab, axis=0)   # (13, BE)
-                qp = meta[0:3]
-                R2 = meta[3:12]
-                gid = meta[12]
                 for f in range(3):
-                    d2 = 0.5 * dsel[f]
-                    pos_f = []
-                    for i3 in range(3):
-                        w = (
-                            qp[i3]
-                            + R2[3 * i3 + 0] * vs[3 * f + 0]
-                            + R2[3 * i3 + 1] * vs[3 * f + 1]
-                            + R2[3 * i3 + 2] * vs[3 * f + 2]
-                        )
-                        pos_f.append(w - n[i3] * d2)
-                    outs.append((tuple(pos_f), dsel[f], gid))
-            return outs
+                    slot_ref[s, f, :] = zero + _BIG
+                for f in range(9):
+                    slot_ref[s, 3 + f, :] = zero
+                slot_ref[s, 12, :] = zero + gid0
+
+                @pl.when(jnp.min(m) < 0.0)
+                def _build(s=s, oh=oh):
+                    ohe = oh[:, None]
+                    dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
+                    vs = jnp.sum(ohe * vsel_all, axis=0)     # (9, BE)
+                    meta = jnp.sum(ohe * pair_tab, axis=0)   # (13, BE)
+                    qp = meta[0:3]
+                    R2 = meta[3:12]
+                    for f in range(3):
+                        slot_ref[s, f, :] = dsel[f]
+                        d2 = 0.5 * dsel[f]
+                        for i3 in range(3):
+                            w = (
+                                qp[i3]
+                                + R2[3 * i3 + 0] * vs[3 * f + 0]
+                                + R2[3 * i3 + 1] * vs[3 * f + 1]
+                                + R2[3 * i3 + 2] * vs[3 * f + 2]
+                            )
+                            slot_ref[s, 3 + 3 * f + i3, :] = (
+                                w - n[i3] * d2
+                            )
+                    slot_ref[s, 12, :] = meta[12]
+
+            return slot_ref[...]
 
         from jax.experimental.pallas import tpu as pltpu
 
-        outs = pl.run_scoped(
+        slot = pl.run_scoped(
             scoped,
             pltpu.VMEM((P, 3, *eshape), f32),
             pltpu.VMEM((P, 9, *eshape), f32),
+            pltpu.VMEM((k, 13, *eshape), f32),
         )
-        for pos_f, d, gidv in outs:
-            cpos.append(pos_f)
-            dist.append(d)
-            gid2.append(gidv)
+        for s in range(k):
+            for f in range(3):
+                cpos.append(tuple(
+                    slot[s, 3 + 3 * f + i3] for i3 in range(3)
+                ))
+                dist.append(slot[s, f])
+                gid2.append(slot[s, 12])
 
     return cpos, dist, gid2
+
+# ---------------------------------------------------------------------------
+# muscle plan + in-kernel tendon/muscle stage (MXU form)
+# ---------------------------------------------------------------------------
+class MusclePlan:
+    """Static tables for the in-kernel tendon + muscle-actuation stage.
+
+    Covers the 92-muscle humanoid family: spatial tendons over site paths
+    (no tendon stiffness/damping/limits — they only drive actuation) and
+    tendon-transmission actuators with MUSCLE gain/bias/dynamics
+    (ops/actuation.py mirrors mju_muscleGain/Bias/Dynamics; that XLA code
+    stays the reference). The per-env work is restructured into small MXU
+    matmuls against static incidence tables:
+
+      site positions   = SB @ xpos_j + sum_k SBo_k @ xmatcol_jk
+      segment ends     = GA/GB @ sites_j
+      tendon lengths   = S @ |segment|
+      tendon velocity  = sum_j cB_j (WB @ qvel-weighted cdof_j) - (A)
+      qfrc_actuator    = sum_j cdof_j (WB' @ g-weighted cB_j) - (A)
+
+    where WA/WB are the per-segment endpoint chain masks (nseg, nv) from
+    ops/tendon._tendon_statics and g the per-segment muscle force."""
+
+    def __init__(self, model, conc):
+        from ..core.types import (
+            BiasType, DisableBit, DynType, GainType, TrnType,
+        )
+        from .tendon import _tendon_statics
+
+        if model.ntendon == 0:
+            raise ValueError("no tendons")
+        ts = np.asarray(model.tendon_stiffness)
+        td = np.asarray(model.tendon_damping)
+        tl = np.asarray(model.tendon_limited)
+        if ts.any() or td.any() or tl.any():
+            raise ValueError("tendon stiffness/damping/limits unsupported")
+
+        site_ids, GA, GB, S, maskA, maskB = _tendon_statics(model)
+        self.site_ids = [int(s) for s in site_ids]
+        self.GA = np.asarray(GA, np.float32)
+        self.GB = np.asarray(GB, np.float32)
+        self.WA = np.asarray(maskA, np.float32)  # (nseg, nv)
+        self.WB = np.asarray(maskB, np.float32)
+
+        need = [
+            model.site_pos, model.actuator_gear, model.actuator_gainprm,
+            model.actuator_biasprm, model.actuator_dynprm,
+            model.actuator_lengthrange, model.actuator_acc0,
+            model.actuator_ctrlrange, model.actuator_forcerange,
+        ]
+        vals = [conc(x) for x in need]
+        if any(v is None for v in vals):
+            raise ValueError("traced muscle leaf")
+        (spos, gear, gp, bp, dp, lr, acc0, cr, fr) = [
+            np.asarray(v, np.float64) for v in vals
+        ]
+
+        # site -> body incidence + local-offset tables (MXU site stage)
+        sbody = np.asarray(model.site_bodyid)[site_ids]
+        ns, nb = len(site_ids), model.nbody
+        self.SB = np.zeros((ns, nb), np.float32)
+        self.SBo = np.zeros((3, ns, nb), np.float32)
+        for i, (s, b) in enumerate(zip(site_ids, sbody)):
+            self.SB[i, b] = 1.0
+            for k in range(3):
+                self.SBo[k, i, b] = spos[s, k]
+
+        # muscle actuators (TENDON transmission, MUSCLE everything)
+        trn = np.asarray(model.actuator_trntype)
+        mus = np.nonzero(trn == int(TrnType.TENDON))[0]
+        if len(mus) == 0:
+            raise ValueError("no tendon actuators")
+        for u in mus:
+            if (
+                int(model.actuator_gaintype[u]) != int(GainType.MUSCLE)
+                or int(model.actuator_biastype[u]) != int(BiasType.MUSCLE)
+                or int(model.actuator_dyntype[u]) != int(DynType.MUSCLE)
+                or int(model.actuator_actadr[u]) < 0
+            ):
+                raise ValueError("non-muscle tendon actuator")
+        self.mus = [int(u) for u in mus]
+        # muscle-ordered tendon selection: S_u = P S (nmus, nseg)
+        tid = np.asarray(model.actuator_trnid)[mus, 0]
+        self.S_u = np.asarray(S, np.float32)[tid]
+        self.gear = [float(gear[u, 0]) for u in mus]
+        self.act_adr = [int(model.actuator_actadr[u]) for u in mus]
+        self.ctrl_lim = [
+            (float(cr[u, 0]), float(cr[u, 1]))
+            if model.actuator_ctrllimited[u] else None
+            for u in mus
+        ]
+        self.force_lim = [
+            (float(fr[u, 0]), float(fr[u, 1]))
+            if model.actuator_forcelimited[u] else None
+            for u in mus
+        ]
+        # per-muscle parameter table, one column per muscle (rows are
+        # parameters so (W, nmus) slices broadcast against (nmus, 1)):
+        # [dyn_tau_act, dyn_tau_deact,
+        #  g_range0, g_range1, g_force, g_scale, g_lmin, g_lmax, g_vmax,
+        #  g_fpmax, g_fvmax,
+        #  b_range0, b_range1, b_force, b_scale, b_lmin, b_lmax, b_vmax,
+        #  b_fpmax, b_fvmax, lr0, lr1, acc0, gear]
+        rows = []
+        for u in mus:
+            rows.append(
+                [dp[u, 0], dp[u, 1]]
+                + [gp[u, i] for i in range(9)]
+                + [bp[u, i] for i in range(9)]
+                + [lr[u, 0], lr[u, 1], acc0[u], gear[u, 0]]
+            )
+        self.prm = np.asarray(rows, np.float32)  # (nmus, 24)
+        self.nmus = len(mus)
+        self.nseg = self.GA.shape[0]
+        self.ns = ns
+        self.clampctrl = not (
+            model.opt.disableflags & DisableBit.CLAMPCTRL
+        )
+        self.actuation_on = not (
+            model.opt.disableflags & DisableBit.ACTUATION
+        )
+
+    def table_arrays(self):
+        return [
+            jnp.asarray(self.SB), jnp.asarray(self.SBo.reshape(-1,
+                                                              self.SB.shape[1])),
+            jnp.asarray(self.GA), jnp.asarray(self.GB),
+            jnp.asarray(self.WA), jnp.asarray(self.WB),
+            jnp.asarray(self.WA.T.copy()), jnp.asarray(self.WB.T.copy()),
+            jnp.asarray(self.S_u), jnp.asarray(self.S_u.T.copy()),
+            jnp.asarray(self.prm),
+        ]
+
+
+N_MUSCLE_TABLES = 11
+
+
+def _mm(A_ref, x):
+    """(m, k) static table ref  @  (k, BE) rows -> (m, BE) on the MXU."""
+    return jax.lax.dot_general(
+        A_ref[...], x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
+                     qvel, act_row, ctrl_row, refs, zero):
+    """In-kernel tendon + muscle stage for one env block.
+
+    qvel: (nv, BE); act_row(u)/ctrl_row(u): env rows for muscle u (by
+    actuator order); refs: the MusclePlan.table_arrays() VMEM refs.
+    Returns (qfrc_mus (nv, BE), act_dot list of (muscle-order) env rows,
+    in mp.act_adr slot order handled by the caller)."""
+    (SB_ref, SBo_ref, GA_ref, GB_ref, WA_ref, WB_ref, WAT_ref, WBT_ref,
+     Su_ref, SuT_ref, prm_ref) = refs
+    f32 = jnp.float32
+    nv = len(cdof_tab)
+    nb = fk.nbody if hasattr(fk, "nbody") else len(fk.xpos)
+
+    # --- site positions via MXU: sites_j = SB @ xpos_j + sum_k SBo_k @ X_jk
+    xpos_rows = [
+        jnp.stack([materialize(fk.xpos[b][j], zero) for b in range(nb)])
+        for j in range(3)
+    ]  # 3 x (nb, BE)
+    X = [
+        [
+            jnp.stack([
+                materialize(fk.xmat[b][j][k], zero) for b in range(nb)
+            ])
+            for k in range(3)
+        ]
+        for j in range(3)
+    ]
+    SBo = SBo_ref[...]
+    ns = mp.ns
+    sites = []
+    for j in range(3):
+        s = _mm(SB_ref, xpos_rows[j])
+        for k in range(3):
+            s = s + jax.lax.dot_general(
+                SBo[k * ns:(k + 1) * ns], X[j][k],
+                (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+        sites.append(s)  # (ns, BE)
+
+    # --- segments ---
+    posA = [_mm(GA_ref, sites[j]) for j in range(3)]
+    posB = [_mm(GB_ref, sites[j]) for j in range(3)]
+    d = [posB[j] - posA[j] for j in range(3)]
+    seg_len = jnp.sqrt(
+        jnp.maximum(d[0] * d[0] + d[1] * d[1] + d[2] * d[2], 1e-24)
+    )
+    inv = 1.0 / jnp.maximum(seg_len, 1e-12)
+    vec = [d[j] * inv for j in range(3)]
+
+    # com-referenced site offsets -> per-segment endpoint offsets
+    offs = [sites[j] - com_l[j][None] for j in range(3)]
+    offA = [_mm(GA_ref, offs[j]) for j in range(3)]
+    offB = [_mm(GB_ref, offs[j]) for j in range(3)]
+
+    def cross_rows(a, b):
+        return [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ]
+
+    cA = cross_rows(offA, vec)  # 3 x (nseg, BE)
+    cB = cross_rows(offB, vec)
+
+    # --- tendon lengths / velocities (muscle order) ---
+    len_u = _mm(Su_ref, seg_len)  # (nmus, BE)
+
+    angm = [
+        jnp.stack([materialize(cdof_tab[v][j], zero) for v in range(nv)])
+        for j in range(6)
+    ]  # 6 x (nv, BE)
+    qc = [angm[j] * qvel for j in range(6)]  # qvel-weighted cdof columns
+    PB = [_mm(WB_ref, qc[j]) for j in range(6)]  # (nseg, BE)
+    PA = [_mm(WA_ref, qc[j]) for j in range(6)]
+    segvel = None
+    for j in range(3):
+        t = cB[j] * PB[j] - cA[j] * PA[j] + vec[j] * (PB[3 + j] - PA[3 + j])
+        segvel = t if segvel is None else segvel + t
+    vel_u = _mm(Su_ref, segvel)  # (nmus, BE)
+
+    # --- muscle FLV force law (rows over muscles; params from the table,
+    # one (nmus, 1) column per parameter) ---
+    prm = prm_ref[...]
+
+    def P(i):
+        return prm[:, i][:, None]
+
+    gearc = P(23)
+    length = len_u * gearc
+    velocity = vel_u * gearc
+
+    ctrl = jnp.stack([ctrl_row(i) for i in range(mp.nmus)])
+    if mp.clampctrl:
+        lo = jnp.stack([
+            zero + (cl[0] if cl is not None else -1e30)
+            for cl in mp.ctrl_lim
+        ])
+        hi = jnp.stack([
+            zero + (cl[1] if cl is not None else 1e30)
+            for cl in mp.ctrl_lim
+        ])
+        ctrl = jnp.clip(ctrl, lo, hi)
+    act = jnp.stack([act_row(i) for i in range(mp.nmus)])
+
+    # mju_muscleDynamics (tausmooth = 0)
+    ctrl_c = jnp.clip(ctrl, 0.0, 1.0)
+    act_c = jnp.clip(act, 0.0, 1.0)
+    tau_act = P(0) * (0.5 + 1.5 * act_c)
+    tau_deact = P(1) / (0.5 + 1.5 * act_c)
+    tau = jnp.where(ctrl_c > act, tau_act, tau_deact)
+    act_dot = (ctrl_c - act) / jnp.maximum(tau, 1e-15)
+
+    def lnorm(r0, r1):
+        l0 = (P(21) - P(20)) / jnp.maximum(r1 - r0, 1e-15)
+        return r0 + (length - P(20)) / jnp.maximum(l0, 1e-15), l0
+
+    def bump(ln, lmin, mid, lmax):
+        left = 0.5 * (lmin + mid)
+        right = 0.5 * (mid + lmax)
+        out = jnp.zeros_like(ln)
+        x = (ln - lmin) / jnp.maximum(left - lmin, 1e-15)
+        out = jnp.where((ln > lmin) & (ln <= left), 0.5 * x * x, out)
+        x = (mid - ln) / jnp.maximum(mid - left, 1e-15)
+        out = jnp.where((ln > left) & (ln <= mid), 1.0 - 0.5 * x * x, out)
+        x = (ln - mid) / jnp.maximum(right - mid, 1e-15)
+        out = jnp.where((ln > mid) & (ln <= right), 1.0 - 0.5 * x * x, out)
+        x = (lmax - ln) / jnp.maximum(lmax - right, 1e-15)
+        out = jnp.where((ln > right) & (ln < lmax), 0.5 * x * x, out)
+        return out
+
+    # gain (mju_muscleGain): prm cols 2..10 = gainprm[0..8]
+    g_lmin, g_lmax = P(6), P(7)
+    g_vmax, g_fvmax = P(8), P(10)
+    g_force, g_scale = P(4), P(5)
+    acc0 = P(22)
+    forceg = jnp.where(
+        g_force < 0, g_scale / jnp.maximum(acc0, 1e-15), g_force
+    )
+    ln_g, l0_g = lnorm(P(2), P(3))
+    v = velocity / jnp.maximum(l0_g * g_vmax, 1e-15)
+    fl = bump(ln_g, g_lmin, 1.0, g_lmax)
+    y = g_fvmax - 1.0
+    fv = jnp.where(
+        v <= -1.0,
+        0.0,
+        jnp.where(
+            v <= 0.0,
+            (v + 1.0) * (v + 1.0),
+            jnp.where(
+                v <= y,
+                g_fvmax - (y - v) * (y - v) / jnp.maximum(y, 1e-15),
+                g_fvmax,
+            ),
+        ),
+    )
+    gain = -forceg * fl * fv
+
+    # bias (mju_muscleBias): prm cols 11..19 = biasprm[0..8]
+    b_lmax, b_fpmax = P(16), P(18)
+    b_force, b_scale = P(13), P(14)
+    forceb = jnp.where(
+        b_force < 0, b_scale / jnp.maximum(acc0, 1e-15), b_force
+    )
+    ln_b, _ = lnorm(P(11), P(12))
+    bmid = 0.5 * (1.0 + b_lmax)
+    x_mid = (ln_b - 1.0) / jnp.maximum(bmid - 1.0, 1e-15)
+    x_hi = (ln_b - bmid) / jnp.maximum(bmid - 1.0, 1e-15)
+    fp = jnp.where(
+        ln_b <= 1.0,
+        0.0,
+        jnp.where(ln_b <= bmid, 0.5 * b_fpmax * x_mid * x_mid,
+                  b_fpmax * (0.5 + x_hi)),
+    )
+    bias = -forceb * fp
+
+    force = gain * act + bias
+    if any(flim is not None for flim in mp.force_lim):
+        flo = jnp.stack([
+            zero + (fl2[0] if fl2 is not None else -1e30)
+            for fl2 in mp.force_lim
+        ])
+        fhi = jnp.stack([
+            zero + (fl2[1] if fl2 is not None else 1e30)
+            for fl2 in mp.force_lim
+        ])
+        force = jnp.clip(force, flo, fhi)
+    if not mp.actuation_on:
+        force = jnp.zeros_like(force)
+        act_dot = jnp.zeros_like(act_dot)
+
+    # --- qfrc_actuator = moment' force, via the chain-mask matmuls ---
+    g = _mm(SuT_ref, force * gearc)  # (nseg, BE) per-segment force
+    qfrc = None
+    for j in range(3):
+        RB = _mm(WBT_ref, g * cB[j])  # (nv, BE)
+        RA = _mm(WAT_ref, g * cA[j])
+        TB = _mm(WBT_ref, g * vec[j])
+        TA = _mm(WAT_ref, g * vec[j])
+        t = angm[j] * (RB - RA) + angm[3 + j] * (TB - TA)
+        qfrc = t if qfrc is None else qfrc + t
+
+    return qfrc, act_dot

@@ -173,6 +173,54 @@ def test_mega_forward_matches_xla_other_robots(task, monkeypatch):
         assert derr < 1e-4, (task, derr)
 
 
+def test_mega_muscle_forward_matches_xla(monkeypatch):
+    """92-muscle humanoid: in-kernel tendon + FLV muscle stage
+    (pallas_fk.MusclePlan). Compares the full forward plus act_dot (the
+    activation-dynamics integrator input) and one Euler step."""
+    env = lmt.make("HumanoidMuscle.walk.real", debug=True,
+                   dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 4)
+    )
+    a = 0.3 * jax.random.uniform(
+        jax.random.PRNGKey(1), (4, env.action_dim), dtype=jnp.float32
+    )
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(3):
+        st = step(st, a)
+    m = env.model
+    datas = st.data
+
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega and plan.mp is not None
+
+    def fwd_all(d):
+        out = fwd.forward(m, d)
+        return out.qacc, out.qfrc_constraint, out.act_dot
+
+    def one_step(d):
+        d = fwd.step(m, d)
+        return d.qpos, d.qvel, d.act
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(fwd_all))(datas)
+    refs = jax.jit(jax.vmap(one_step))(datas)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    mega = jax.jit(jax.vmap(fwd_all))(datas)
+    megas = jax.jit(jax.vmap(one_step))(datas)
+
+    for r, g, what in zip(ref, mega, ("qacc", "qfrc", "act_dot")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
+    for r, g, what in zip(refs, megas, ("qpos", "qvel", "act")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
+
+
 @pytest.mark.skipif(
     __import__("os").environ.get("LMT_SLOW_PARITY", "0") != "1",
     reason="4 chained interpret-mode mega kernels take ~10 min to compile "
