@@ -216,7 +216,7 @@ class RowPlan:
         self.est_bytes = est  # per 128-env lane block (S = 1)
         import os as _os
 
-        limit_kib = int(_os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
+        limit_kib = int(_os.environ.get("LMT_SCOPED_VMEM_KIB", "81920"))
         if est > (limit_kib * 1024) * 0.95 and not pn._INTERPRET:
             return
 
@@ -604,7 +604,7 @@ class RowPlan:
         s = max(1, min(s_max, (E + 127) // 128))
         s = 1 << (s.bit_length() - 1)
         budget = int(
-            _os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")
+            _os.environ.get("LMT_SCOPED_VMEM_KIB", "81920")
         ) * 1024 * 0.95
         while s > 1 and self.est_bytes * s > budget:
             s //= 2
@@ -1944,17 +1944,45 @@ def fused_constraint(model: Model, data, plan: RowPlan):
 _MEGA_MAXD = 4  # condim-3 pyramid: 4 facet rows per slot
 
 
+def _mega_sublanes():
+    """Env sublanes S for the mega kernel's grouped (S, 128) layout.
+    Scalar chains (FK, smooth preamble, collision prep, Cholesky) run at
+    1/8 VPU density on (1, 128) lanes rows; packing S env groups into
+    sublanes runs them S x denser at the cost of S x the per-pair mesh
+    manifold code (2D MXU dots per sublane slice). Default off until the
+    measured win is recorded per model; set LMT_MEGA_SUBLANES=2/4/8."""
+    import os as _os
+
+    s = int(_os.environ.get("LMT_MEGA_SUBLANES", "1"))
+    return s if s in (2, 4, 8) else 1
+
+
 def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
                   tolerance, vec):
-    """Batched mega entry (lanes layout only): `vec` is the (E, nvec)
-    packed [qpos qvel ctrl qfrc_applied xfrc ws] per-env vector; the mesh
-    vertex/neighbor tables ride along as whole-array VMEM inputs."""
+    """Batched mega entry: `vec` is the (E, nvec) packed
+    [qpos qvel act ctrl qfrc_applied xfrc ws] per-env vector; the mesh
+    vertex/neighbor (and muscle incidence) tables ride along as
+    whole-array VMEM inputs. Layout: 2D lanes blocks by default, grouped
+    (S, 128) env blocks with LMT_MEGA_SUBLANES."""
     E = vec.shape[0]
     f32 = jnp.float32
-    G = (E + _BE - 1) // _BE
-    Ep = G * _BE
+    S = _mega_sublanes()
+    # muscle models stay on lanes for now: the per-muscle parameter
+    # columns would need a lanes->leading shape cast under grouping
+    grouped = S > 1 and E > 128 and plan.mp is None
+    if grouped:
+        R = (((E + 127) // 128 + S - 1) // S) * S
+        G = R // S
+        Ep = R * 128
+    else:
+        S = 1
+        G = (E + _BE - 1) // _BE
+        Ep = G * _BE
 
     def tl(x):
+        if grouped:
+            g = play.to_grouped(x.astype(f32), r_pad=S)
+            return g.reshape(x.shape[1], G, S, 128)
         x = play.moveaxis0_last(x.astype(f32))
         if Ep != E:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
@@ -1962,13 +1990,22 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
 
     nvec = vec.shape[1]
 
-    def spec(*dims):
-        nd = len(dims)
-        return pl.BlockSpec(
-            (*dims, _BE),
-            lambda e: (0,) * nd + (e,),
-            memory_space=pltpu.VMEM,
-        )
+    if grouped:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, 1, S, 128),
+                lambda e: (0,) * nd + (e, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+    else:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, _BE),
+                lambda e: (0,) * nd + (e,),
+                memory_space=pltpu.VMEM,
+            )
 
     ins = [tl(vec)]
     specs = [spec(nvec)]
@@ -1988,11 +2025,13 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
     nv, ncon = plan.nv, plan.ncon
     kernel = _make_fused_kernel(
         plan, iterations, ls_iterations, scale=scale, tolerance=tolerance,
-        grouped=False, mega=True, maxd=_MEGA_MAXD,
+        grouped=grouped, mega=True, maxd=_MEGA_MAXD,
     )
 
     def osh(k):
-        return jax.ShapeDtypeStruct((k, Ep), f32)
+        return jax.ShapeDtypeStruct(
+            (k, G, S, 128) if grouped else (k, Ep), f32
+        )
 
     ks = [nv, nv, nv, ncon, ncon, ncon * _MEGA_MAXD]
     if plan.euler_dv:
@@ -2009,8 +2048,14 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
         compiler_params=pn.vmem_params(),
     )(*ins)
 
-    def back(a):
-        return play.moveaxis_last0(a)[:E]
+    if grouped:
+        def back(a):
+            return play.from_grouped(
+                a.reshape(a.shape[0], G * S, 128), E
+            )
+    else:
+        def back(a):
+            return play.moveaxis_last0(a)[:E]
 
     return tuple(back(o) for o in outs)
 
@@ -2022,7 +2067,8 @@ def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
                     scale=None, tolerance=None):
     scale = None if scale is None else float(scale)
     tolerance = None if tolerance is None else float(tolerance)
-    key = (id(plan), iterations, ls_iterations, scale, tolerance)
+    key = (id(plan), iterations, ls_iterations, scale, tolerance,
+           _mega_sublanes())
     hit = _MEGA_CACHE.get(key)
     if hit is not None:
         return hit

@@ -295,6 +295,29 @@ def sub3(a, b):
     return tuple(sub(a[i], b[i]) for i in range(3))
 
 
+
+def _gather_dot(tbl, oh):
+    """(R, V) static table x (V, *E) one-hot -> (R, *E) on the MXU.
+    Grouped (S, 128) env blocks run one 2D dot per sublane slice (Mosaic
+    dots are 2D-only); lanes blocks are a single dot."""
+    f32 = jnp.float32
+    if oh.ndim == 2:
+        return jax.lax.dot_general(
+            tbl, oh, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+        )
+    S = oh.shape[1]
+    return jnp.stack(
+        [
+            jax.lax.dot_general(
+                tbl, oh[:, si], (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            for si in range(S)
+        ],
+        axis=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # collision plan + in-kernel plane collision
 # ---------------------------------------------------------------------------
@@ -416,13 +439,16 @@ class ColPlan:
 
     @property
     def n_mesh_tables(self):
-        return sum(
+        return 2 * sum(
             len(g["subs"]) for g in self.groups if g["kind"] == "mesh"
         )
 
     def mesh_table_arrays(self):
         """The bucketed static vertex/neighbor tables as jnp inputs for
-        pallas_call (one (Pb, 3+4D, V) array per bucket)."""
+        pallas_call: per bucket, the (Pb, 3+4D, V) table AND its
+        (Pb, V, 3) transposed vertex block (the height map runs as an MXU
+        dot (V, 3) @ (3, *E); building (V, *E) maps from the table's lane
+        rows would need a lanes->leading shape cast Mosaic rejects)."""
         out = []
         for g in self.groups:
             if g["kind"] != "mesh":
@@ -430,6 +456,9 @@ class ColPlan:
             for ids, tbl_t, marg, D in g["subs"]:
                 tbl = np.frombuffer(tbl_t[0], np.float32).reshape(tbl_t[1])
                 out.append(jnp.asarray(tbl))
+                out.append(jnp.asarray(
+                    np.ascontiguousarray(tbl[:, 0:3].transpose(0, 2, 1))
+                ))
         return out
 
 
@@ -677,8 +706,8 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
         # ---- mesh group: bucketed manifold selection + top-k ----
         mesh_pairs = pairs
         subs = g["subs"]
-        my_tbls = tbl_refs[tbl_i:tbl_i + len(subs)]
-        tbl_i += len(subs)
+        my_tbls = tbl_refs[tbl_i:tbl_i + 2 * len(subs)]
+        tbl_i += 2 * len(subs)
 
         a_rows, b_rows, qp_list, R2_list = [], [], [], []
         for bp in mesh_pairs:
@@ -692,37 +721,38 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                    a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
                    R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
                    g=g):
+            ones_e = (1,) * len(eshape)
             pi = 0
             for ti, (ids, tbl_t, marg, D) in enumerate(subs):
-                tbl_ref = my_tbls[ti]
+                tbl_ref = my_tbls[2 * ti]
+                tblT_ref = my_tbls[2 * ti + 1]
                 V = tbl_ref.shape[2]
                 iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (V, 1), 0
+                    jnp.int32, (V,) + ones_e, 0
                 ).astype(f32)
                 for lp in range(len(ids)):
                     p = pi + lp
                     margin, dedupe2, rb = (float(x) for x in marg[lp])
                     lb = b_rows[p] - (rb + 1e-6)
                     tbl = tbl_ref[lp]  # (3+4D, V)
-                    d0_ref[p, 0, :] = lb
-                    d0_ref[p, 1, :] = zero + _BIG
-                    d0_ref[p, 2, :] = zero + _BIG
+                    tblT = tblT_ref[lp]  # (V, 3)
+                    d0_ref[p, 0] = lb
+                    d0_ref[p, 1] = zero + _BIG
+                    d0_ref[p, 2] = zero + _BIG
                     for i3 in range(9):
-                        vsel_ref[p, i3, :] = zero + tbl[i3 % 3, 0]
+                        vsel_ref[p, i3] = zero + tbl[i3 % 3, 0]
 
                     @pl.when(jnp.min(lb) < margin)
-                    def _near(p=p, tbl=tbl, iota=iota,
+                    def _near(p=p, tbl=tbl, tblT=tblT, iota=iota,
                               margin=margin, dedupe2=dedupe2, D=D):
-                        a0 = a_rows[p][0][None, :]
-                        a1 = a_rows[p][1][None, :]
-                        a2 = a_rows[p][2][None, :]
-                        bb = b_rows[p][None, :]
-                        vx = tbl[0, :][:, None]
-                        vy = tbl[1, :][:, None]
-                        vz = tbl[2, :][:, None]
-                        h = vx * a0 + vy * a1 + vz * a2 + bb  # (V, BE)
+                        a0 = a_rows[p][0][None]
+                        a1 = a_rows[p][1][None]
+                        a2 = a_rows[p][2][None]
+                        bb = b_rows[p][None]
+                        A = jnp.concatenate([a0, a1, a2], axis=0)
+                        h = _gather_dot(tblT, A) + bb  # (V, *E)
                         d0 = jnp.min(h, axis=0, keepdims=True)
-                        d0_ref[p, 0, :] = d0[0]
+                        d0_ref[p, 0] = d0[0]
 
                         @pl.when(jnp.min(d0) < margin)
                         def _manifold():
@@ -731,10 +761,7 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                                 axis=0, keepdims=True,
                             )
                             oh0 = (iota == i0).astype(f32)
-                            q = jax.lax.dot_general(
-                                tbl, oh0, (((1,), (0,)), ((), ())),
-                                preferred_element_type=f32,
-                            )  # (3+4D, BE)
+                            q = _gather_dot(tbl, oh0)  # (3+4D, *E)
                             v0x, v0y, v0z = (
                                 q[0][None], q[1][None], q[2][None]
                             )
@@ -777,14 +804,14 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                                         t2, cc[dc][None], v2[k3]
                                     )
                                 cnt = cnt + qd
-                            d0_ref[p, 1, :] = d1[0]
-                            d0_ref[p, 2, :] = d2[0]
-                            vsel_ref[p, 0, :] = q[0]
-                            vsel_ref[p, 1, :] = q[1]
-                            vsel_ref[p, 2, :] = q[2]
+                            d0_ref[p, 1] = d1[0]
+                            d0_ref[p, 2] = d2[0]
+                            vsel_ref[p, 0] = q[0]
+                            vsel_ref[p, 1] = q[1]
+                            vsel_ref[p, 2] = q[2]
                             for k3 in range(3):
-                                vsel_ref[p, 3 + k3, :] = v1[k3][0]
-                                vsel_ref[p, 6 + k3, :] = v2[k3][0]
+                                vsel_ref[p, 3 + k3] = v1[k3][0]
+                                vsel_ref[p, 6 + k3] = v2[k3][0]
 
                 pi += len(ids)
 
@@ -823,10 +850,10 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                 oh = (iota_p == i).astype(f32)  # (P, BE)
                 key = jnp.where(oh > 0, _BIG, key)
                 for f in range(3):
-                    slot_ref[s, f, :] = zero + _BIG
+                    slot_ref[s, f] = zero + _BIG
                 for f in range(9):
-                    slot_ref[s, 3 + f, :] = zero
-                slot_ref[s, 12, :] = zero + gid0
+                    slot_ref[s, 3 + f] = zero
+                slot_ref[s, 12] = zero + gid0
 
                 @pl.when(jnp.min(m) < 0.0)
                 def _build(s=s, oh=oh):
@@ -837,7 +864,7 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                     qp = meta[0:3]
                     R2 = meta[3:12]
                     for f in range(3):
-                        slot_ref[s, f, :] = dsel[f]
+                        slot_ref[s, f] = dsel[f]
                         d2 = 0.5 * dsel[f]
                         for i3 in range(3):
                             w = (
@@ -846,10 +873,10 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                                 + R2[3 * i3 + 1] * vs[3 * f + 1]
                                 + R2[3 * i3 + 2] * vs[3 * f + 2]
                             )
-                            slot_ref[s, 3 + 3 * f + i3, :] = (
+                            slot_ref[s, 3 + 3 * f + i3] = (
                                 w - n[i3] * d2
                             )
-                    slot_ref[s, 12, :] = meta[12]
+                    slot_ref[s, 12] = meta[12]
 
             return slot_ref[...]
 
@@ -1008,11 +1035,9 @@ N_MUSCLE_TABLES = 11
 
 
 def _mm(A_ref, x):
-    """(m, k) static table ref  @  (k, BE) rows -> (m, BE) on the MXU."""
-    return jax.lax.dot_general(
-        A_ref[...], x, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    """(m, k) static table ref  @  (k, *E) rows -> (m, *E) on the MXU
+    (grouped blocks via _gather_dot's per-sublane-slice dots)."""
+    return _gather_dot(A_ref[...], x)
 
 
 def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
@@ -1047,13 +1072,10 @@ def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
     ns = mp.ns
     sites = []
     for j in range(3):
-        s = _mm(SB_ref, xpos_rows[j])
+        s = _gather_dot(SB_ref[...], xpos_rows[j])
         for k in range(3):
-            s = s + jax.lax.dot_general(
-                SBo[k * ns:(k + 1) * ns], X[j][k],
-                (((1,), (0,)), ((), ())), preferred_element_type=f32,
-            )
-        sites.append(s)  # (ns, BE)
+            s = s + _gather_dot(SBo[k * ns:(k + 1) * ns], X[j][k])
+        sites.append(s)  # (ns, *E)
 
     # --- segments ---
     posA = [_mm(GA_ref, sites[j]) for j in range(3)]
@@ -1066,7 +1088,8 @@ def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
     vec = [d[j] * inv for j in range(3)]
 
     # com-referenced site offsets -> per-segment endpoint offsets
-    offs = [sites[j] - com_l[j][None] for j in range(3)]
+    offs = [sites[j] - materialize(com_l[j], zero)[None]
+            for j in range(3)]
     offA = [_mm(GA_ref, offs[j]) for j in range(3)]
     offB = [_mm(GB_ref, offs[j]) for j in range(3)]
 
@@ -1099,9 +1122,10 @@ def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
     # --- muscle FLV force law (rows over muscles; params from the table,
     # one (nmus, 1) column per parameter) ---
     prm = prm_ref[...]
+    e_nd = qvel.ndim - 1  # trailing env-block rank (1 lanes, 2 grouped)
 
     def P(i):
-        return prm[:, i][:, None]
+        return prm[:, i].reshape(mp.nmus, *([1] * e_nd))
 
     gearc = P(23)
     length = len_u * gearc

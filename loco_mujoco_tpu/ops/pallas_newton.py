@@ -63,9 +63,12 @@ def pick_sublanes(E, bytes_per_env=None):
     # which Mosaic may reject or slow-path; ADVICE r2 medium)
     s = 1 << (s.bit_length() - 1)
     if bytes_per_env is not None:
-        budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
-        # leave headroom for Mosaic stack temporaries the estimate misses
-        while s > 1 and s * 128 * bytes_per_env > 0.7 * budget:
+        budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "81920")) * 1024
+        # Mosaic's live-range peak runs well past the raw operand bytes:
+        # G1's standalone solve (nv=19 x 288 rows) allocated 87 MB against
+        # a 35 MB estimate at S=8 — a 2.5x multiplier, in line with the
+        # 2.2-3.3x calibrations of the fused kernel's VMEM gate
+        while s > 1 and s * 128 * bytes_per_env * 2.5 > budget:
             s //= 2
     return s
 
@@ -81,7 +84,7 @@ def vmem_params():
     the Mosaic stack — more than the 16 MiB default scoped limit. Passing
     the budget as kernel CompilerParams frees callers from threading
     jit-level compiler options (plain `jax.jit(env.step)` works)."""
-    budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536")) * 1024
+    budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "81920")) * 1024
     kw = {}
     if os.environ.get("LMT_SHAPE_INVARIANT") == "0":
         # Mosaic's shape-invariant-numerics mode rejects ADD-reductions

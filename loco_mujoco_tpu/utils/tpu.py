@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-SCOPED_VMEM_KIB = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "65536"))
+SCOPED_VMEM_KIB = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "81920"))
 
 # Persistent compilation cache: the flagship step executable costs ~85 s to
 # compile; cache it on disk so each tool/test/bench pays it once per machine
