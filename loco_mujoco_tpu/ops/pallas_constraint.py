@@ -1948,12 +1948,16 @@ def _mega_sublanes():
     """Env sublanes S for the mega kernel's grouped (S, 128) layout.
     Scalar chains (FK, smooth preamble, collision prep, Cholesky) run at
     1/8 VPU density on (1, 128) lanes rows; packing S env groups into
-    sublanes runs them S x denser at the cost of S x the per-pair mesh
-    manifold code (2D MXU dots per sublane slice). Default off until the
-    measured win is recorded per model; set LMT_MEGA_SUBLANES=2/4/8."""
+    sublanes runs them S x denser at the cost of per-sublane-slice MXU
+    dots in the mesh/tendon stages. Measured on v5e at 4096 envs
+    (env-steps/s, lanes vs S=8): HumanoidTorque 86.9k -> 188.4k,
+    UnitreeH1 385.7k -> 622.8k, Talos -> 365.5k, Atlas 59.7k -> 63.6k;
+    S=2 is a valley (63.0k flagship) — don't use it. Escape hatch:
+    LMT_MEGA_SUBLANES=1 restores lanes if a future model's grouped
+    program won't compile."""
     import os as _os
 
-    s = int(_os.environ.get("LMT_MEGA_SUBLANES", "1"))
+    s = int(_os.environ.get("LMT_MEGA_SUBLANES", "8"))
     return s if s in (2, 4, 8) else 1
 
 
@@ -1967,9 +1971,7 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
     E = vec.shape[0]
     f32 = jnp.float32
     S = _mega_sublanes()
-    # muscle models stay on lanes for now: the per-muscle parameter
-    # columns would need a lanes->leading shape cast under grouping
-    grouped = S > 1 and E > 128 and plan.mp is None
+    grouped = S > 1 and E > 128
     if grouped:
         R = (((E + 127) // 128 + S - 1) // S) * S
         G = R // S

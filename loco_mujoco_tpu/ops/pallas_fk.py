@@ -1124,8 +1124,17 @@ def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
     prm = prm_ref[...]
     e_nd = qvel.ndim - 1  # trailing env-block rank (1 lanes, 2 grouped)
 
-    def P(i):
-        return prm[:, i].reshape(mp.nmus, *([1] * e_nd))
+    if e_nd == 1:
+        def P(i):
+            return prm[:, i][:, None]
+    else:
+        # grouped: a (nmus,) table column reshaped to (nmus, 1, 1) is a
+        # lanes->leading cast Mosaic rejects; the params are static, so
+        # broadcast them as per-muscle rows instead
+        def P(i):
+            return jnp.stack([
+                zero + float(mp.prm[u, i]) for u in range(mp.nmus)
+            ])
 
     gearc = P(23)
     length = len_u * gearc
