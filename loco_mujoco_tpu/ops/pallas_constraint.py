@@ -273,6 +273,19 @@ class RowPlan:
                 i = j
         self.ell_runs = tuple(self.ell_runs)
 
+        # elliptic fast/full branch subset: plane-SPHERE groups (point
+        # feet — the gait-bearing contacts) in full plus the top
+        # LMT_FAST_RANKS_ELL depth-ranked pairs of plane top-k groups;
+        # other groups (leg cylinders, trunk boxes, self-collision pairs)
+        # only activate in falls, which take the full branch. A1: 12 of
+        # 76 slots / 60 of 306 rows on the fast branch.
+        self.ell_fast = None
+        if self.elliptic and self.ncon:
+            try:
+                self._build_ell_fast(model)
+            except Exception:
+                self.ell_fast = None
+
         # --- in-kernel Euler implicit damping ----------------------------
         # Euler models (A1, H1, muscle humanoids) need qM only for the
         # integrator's (M + h diag(damping))^-1 (M qacc) solve; the kernel
@@ -387,6 +400,36 @@ class RowPlan:
                 self.smooth_mu = False
                 self.mp = None
         self.ok = True
+
+    def _build_ell_fast(self, model: Model):
+        import os as _os
+
+        from ..core.types import GeomType
+        from .collision import contact_groups
+
+        if _os.environ.get("LMT_ELL_FAST", "1") == "0":
+            return
+        rmax = int(_os.environ.get("LMT_FAST_RANKS_ELL", "4"))
+        groups, total, _ = contact_groups(model)
+        if total != self.ncon:
+            return
+        fast = []
+        for g in groups:
+            if int(g.t1) != int(GeomType.PLANE):
+                continue
+            if int(g.t2) == int(GeomType.SPHERE):
+                ranks = g.k
+            elif g.k < len(g.pair_ids):
+                ranks = min(rmax, g.k)
+            else:
+                continue
+            for r in range(ranks):
+                fast.extend(
+                    g.offset + r * g.slots + s for s in range(g.slots)
+                )
+        fast = sorted(fast)
+        if 0 < len(fast) < self.ncon:
+            self.ell_fast = fast
 
     def _build_smooth(self, model: Model, opt, allow_muscle=False):
         """Static tables for the in-kernel smooth stage (com, cinert,
@@ -1375,6 +1418,8 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                     #                solref(2) solimp(5) iw_t bid1 bid2]
                     nf = plan.nfric
                     cp = rd(cp_ref)
+                    if sub is not None:
+                        cp = jnp.stack([cp[c] for c in sub])
                     cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
                     frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
                     dist = cp[:, 12, :]      # (ncon, BE)
@@ -1499,12 +1544,16 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                     # slot (normal + tangentials [+ torsion/rolling]); friction
                     # rows get aref = -b*vel and the impratio-scaled R
                     # (constraint.py:444-452). Zone logic lives in solve_core.
+                    con_dims = (
+                        plan.con_dims if sub is None
+                        else [plan.con_dims[c] for c in sub]
+                    )
                     mu_parts = []
                     i = 0
                     while i < ncon:
-                        d = plan.con_dims[i]
+                        d = con_dims[i]
                         j = i
-                        while j < ncon and plan.con_dims[j] == d:
+                        while j < ncon and con_dims[j] == d:
                             j += 1
                         cnt = j - i
                         sl = slice(i, j)
@@ -1603,6 +1652,30 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                 floss_fl = jnp.zeros((1, *eshape), dtype=f32)
 
             s0 = plan.ne + plan.nfl + plan.nl
+            if plan.elliptic and ncon:
+                # run layout over the (possibly subset) slot list
+                cd_l = (
+                    plan.con_dims if sub is None
+                    else [plan.con_dims[c] for c in sub]
+                )
+                ell_runs_l = []
+                adr_ = s0
+                i0_ = 0
+                while i0_ < ncon:
+                    d_ = cd_l[i0_]
+                    j0_ = i0_
+                    while j0_ < ncon and cd_l[j0_] == d_:
+                        j0_ += 1
+                    cnt_ = j0_ - i0_
+                    if d_ >= 3:
+                        ell_runs_l.append((adr_, cnt_, d_))
+                        adr_ += cnt_ * d_
+                    else:
+                        adr_ += cnt_
+                    i0_ = j0_
+                ell_runs_l = tuple(ell_runs_l)
+            else:
+                ell_runs_l = ()
             pyr = None
             if ncon and not plan.elliptic:
                 pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
@@ -1611,13 +1684,30 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             x, force = pn.solve_core(
                 J, M, aref, D, R, floss_fl, act, asm, ws,
                 nv, iterations, ls_iterations, plan.ne, plan.nfl,
-                ell_runs=plan.ell_runs if plan.elliptic else (),
+                ell_runs=ell_runs_l,
                 ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
             )
 
             wr(x_ref, x)
             if not mega:
-                wr(force_ref, force)
+                if sub is None:
+                    wr(force_ref, force)
+                else:
+                    # scatter the reduced rows back to the FULL row
+                    # layout (excluded inactive slots carry zero force)
+                    rows = [force[:s0]] if s0 else []
+                    ladr = s0
+                    in_sub = set(sub)
+                    for c_full in range(ncon_full):
+                        r_ = plan.rows_per[c_full]
+                        if c_full in in_sub:
+                            rows.append(force[ladr:ladr + r_])
+                            ladr += r_
+                        else:
+                            rows.append(
+                                jnp.zeros((r_, *eshape), dtype=f32)
+                            )
+                    wr(force_ref, jnp.concatenate(rows, axis=0))
             else:
                 # efc_force_contact per-slot forces over the FULL slot
                 # layout, emitted from the VMEM-resident force rows
@@ -1694,6 +1784,26 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             @pl.when(jnp.logical_not(cond))
             def _fast_branch():
                 _rows_solve_write(plan.mega_fast)
+        elif (not mega and ncon and plan.elliptic
+              and getattr(plan, "ell_fast", None) is not None):
+            # elliptic (A1): same fast/full specialization; the activity
+            # condition reads the packed per-slot fields (generic pack
+            # cols 12/13 = dist / includemargin)
+            cp_cond = rd(cp_ref)
+            outside = sorted(set(range(ncon)) - set(plan.ell_fast))
+            act_out = jnp.stack([
+                jnp.where(cp_cond[c, 12] < cp_cond[c, 13], 1.0, 0.0)
+                for c in outside
+            ])
+            cond = jnp.max(act_out) > 0.0
+
+            @pl.when(cond)
+            def _full_branch_e():
+                _rows_solve_write(None)
+
+            @pl.when(jnp.logical_not(cond))
+            def _fast_branch_e():
+                _rows_solve_write(plan.ell_fast)
         else:
             _rows_solve_write(None)
         wr(asm_ref, asm)
