@@ -5,8 +5,10 @@ inside the jitted reset."""
 import jax
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.assets import data_root as _dr
+DATA_ROOT = _dr()
 
-CONF = ("/root/reference/loco_mujoco/environments/data/quadrupeds/"
+CONF = (str(DATA_ROOT) + "/environments/data/quadrupeds/"
         "domain_randomization_unitree_a1.yaml")
 
 

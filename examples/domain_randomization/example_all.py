@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.assets import data_root as _dr
+DATA_ROOT = _dr()
 
-DATA = "/root/reference/loco_mujoco/environments/data"
+DATA = str(DATA_ROOT) + "/environments/data"
 TASKS = {
     "UnitreeA1.simple.real":
         f"{DATA}/quadrupeds/domain_randomization_unitree_a1.yaml",

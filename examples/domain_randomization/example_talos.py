@@ -6,8 +6,10 @@ no XML recompilation or worker pool."""
 import jax
 
 import loco_mujoco_tpu as lmt
+from loco_mujoco_tpu.utils.assets import data_root as _dr
+DATA_ROOT = _dr()
 
-CONF = ("/root/reference/loco_mujoco/environments/data/talos/"
+CONF = (str(DATA_ROOT) + "/environments/data/talos/"
         "domain_randomization_talos.yaml")
 
 

@@ -26,7 +26,7 @@ from ...registry import register
 from ...rewards import make_reward
 from ...utils.checks import ValidTaskConf, check_validity_task_mode_dataset
 
-REF_ROOT = Path("/root/reference/loco_mujoco")
+from ...utils.assets import REF_ROOT  # asset root, env-var overridable
 
 PELVIS = ["pelvis_tx", "pelvis_tz", "pelvis_ty", "pelvis_tilt", "pelvis_list", "pelvis_rotation"]
 LEG_R = ["hip_flexion_r", "hip_adduction_r", "hip_rotation_r", "knee_angle_r",

@@ -27,7 +27,7 @@ from ...envs.observation import ObservationType, ObsIndex
 from ...ops import support
 from ...rewards import make_reward
 
-REF_ROOT = Path("/root/reference/loco_mujoco")
+from ...utils.assets import REF_ROOT  # asset root, env-var overridable
 
 
 def joint_obs_spec(joints):

@@ -36,7 +36,7 @@ from ...rewards import make_reward
 from ...utils import math as um
 from ...utils.checks import ValidTaskConf, check_validity_task_mode_dataset
 
-REF_ROOT = Path("/root/reference/loco_mujoco")
+from ...utils.assets import REF_ROOT  # asset root, env-var overridable
 
 JOINTS = [
     "trunk_tx", "trunk_ty", "trunk_tz",

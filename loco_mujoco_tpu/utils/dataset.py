@@ -41,11 +41,23 @@ ZENODO_URLS = {
     ),
 }
 
-DATASET_ROOT = Path(
-    os.environ.get(
-        "LOCO_MUJOCO_TPU_DATASETS", "/root/reference/loco_mujoco/datasets"
-    )
-)
+from .assets import dataset_root as _dataset_root
+
+
+class _LazyDatasetRoot:
+    """Resolved at use time via utils.assets (env-var overridable)."""
+
+    def __truediv__(self, other):
+        return _dataset_root() / other
+
+    def __str__(self):
+        return str(_dataset_root())
+
+    def __fspath__(self):
+        return str(_dataset_root())
+
+
+DATASET_ROOT = _LazyDatasetRoot()
 
 
 def _try_download(kind: str, dest: Path) -> bool:
