@@ -353,6 +353,23 @@ class LocoEnv:
         a = action.astype(self.dtype) * self.norm_act_delta + self.norm_act_mean
         data = state.data.replace(ctrl=a)
 
+        # megastep fast path: when nothing observes per-substep state (no
+        # GRF window, no substep hook), the whole control step — all
+        # n_substeps forwards AND the integrator — runs as ONE Pallas
+        # program (ops/forward.step_n). Falls through to the lax.scan of
+        # per-substep fwd.step on models outside the megastep envelope.
+        d_mega = None
+        if (
+            not self.use_foot_forces
+            and type(self)._substep_hook is LocoEnv._substep_hook
+        ):
+            d_mega = fwd.step_n(model, data, self.n_substeps)
+        if d_mega is not None:
+            data = d_mega
+            st = state
+            obs = self._build_obs(data, st)
+            return self._finish_step(state, st, data, obs, action)
+
         # substeps via lax.scan: one traced substep body instead of an
         # n_substeps-times unrolled graph (10x smaller trace / compile).
         # The carry holds ONLY the integrated state (qpos/qvel/act/qacc/
@@ -396,6 +413,11 @@ class LocoEnv:
         st = state.replace(grf_window=grf_window)
 
         obs = self._build_obs(data, st)
+        return self._finish_step(state, st, data, obs, action)
+
+    def _finish_step(self, state: EnvState, st: EnvState, data: Data,
+                     obs, action) -> EnvState:
+        """Shared step tail: reward, absorbing/done, auto-reset merge."""
         info = self._reward_info(st)
         reward = self.reward_fn(state.obs, action, obs, info).astype(self.dtype)
         absorbing = (

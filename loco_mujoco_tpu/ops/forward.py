@@ -309,3 +309,23 @@ def step(model: Model, data: Data) -> Data:
     if model.opt.integrator == int(IntegratorType.RK4):
         return _rk4(model, data)
     return _euler(model, data)
+
+
+@_exact_f32
+def step_n(model: Model, data: Data, n_steps: int) -> Data | None:
+    """n_steps physics steps fused into ONE Pallas program (the megastep
+    kernel: forward + RK4/Euler integration looped in-kernel), or None
+    when the model is outside the megastep envelope — callers fall back
+    to per-step `step` under lax.scan. The env layer only takes this path
+    when nothing observes per-substep state (no foot-force window, no
+    substep hook); derived Data fields stay stale per the mega contract."""
+    if os.environ.get("LMT_MEGASTEP", "1") == "0":
+        return None
+    if os.environ.get("LMT_MEGA", "1") == "0":
+        return None
+    plan = _fused_plan(model, data)
+    if plan is None or not getattr(plan, "mega", False):
+        return None
+    from . import pallas_constraint as pc
+
+    return pc.mega_step_n(model, data, plan, n_steps)

@@ -85,20 +85,26 @@ def _make_kernel(D):
             b = b_ref[p, 0, :][None, :]
             margin = marg_ref[p, 0, 0]
             dedupe2 = marg_ref[p, 1, 0]  # squared dedupe radius
-            rb = marg_ref[p, 2, 0]  # hull radius about the mesh frame
 
-            # cheap conservative bound: |a| = 1 (a = R2'n, R orthonormal),
-            # so min_v h = min_v (v.a) + b >= b - max_v |v| = b - rb. When
-            # every env in the block is beyond margin by this bound, the
-            # pair cannot produce an active contact anywhere in the block —
-            # skip the (V, BE) height map AND the manifold walk, emitting
-            # the bound as the slot-0 depth (it only serves as a top-K
-            # ranking key, and lb >= margin ranks it behind every active
-            # pair). Walking robots keep most of the floor x body-mesh
-            # candidate set multiple bound-radii off the ground, so this
-            # gate removes the bulk of the group's work (humanoid: 75
-            # pairs, of which a handful are ever near the floor).
-            lb = b - rb - 1e-6
+            # conservative directed-extent bound: with per-axis hull
+            # extents [lo, hi] (mesh frame), min_v h = min_v (v.a) + b >=
+            # b + sum_i min(a_i lo_i, a_i hi_i). When every env in the
+            # block is beyond margin by this bound, the pair cannot
+            # produce an active contact anywhere in the block — skip the
+            # (V, BE) height map AND the manifold walk, emitting the bound
+            # as the slot-0 depth (it only serves as a top-K ranking key,
+            # and lb >= margin ranks it behind every active pair). In
+            # nominal gait this keeps only the ankle-adjacent hulls "near"
+            # (the earlier bounding-sphere bound kept most of the
+            # humanoid's 75 floor x mesh pairs near permanently: bone
+            # hulls are long and their frame origins sit far from the
+            # ground-facing end).
+            lb = b - 1e-6
+            for i3 in range(3):
+                loi = marg_ref[p, 2 + i3, 0]
+                hii = marg_ref[p, 5 + i3, 0]
+                ai = (a0, a1, a2)[i3]
+                lb = lb + jnp.minimum(ai * loi, ai * hii)
             big_row = jnp.full_like(lb[0], _BIG)
             dist_ref[p, 0, :] = lb[0]
             dist_ref[p, 1, :] = big_row
@@ -238,8 +244,8 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
     if Ep != E or Pp != P:
         at = jnp.pad(at, ((0, Pp - P), (0, 0), (0, Ep - E)))
         bt = jnp.pad(bt, ((0, Pp - P), (0, 0), (0, Ep - E)))
-    marg = np.zeros((Pp, 3, 1), np.float32)
-    marg[:P] = np.asarray(marg_tuple, np.float32).reshape(P, 3, 1)
+    marg = np.zeros((Pp, 8, 1), np.float32)
+    marg[:P] = np.asarray(marg_tuple, np.float32).reshape(P, 8, 1)
     marg = jnp.asarray(marg)
     if Pp != P:
         tbl = np.concatenate(
@@ -258,7 +264,7 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((PB, 1, BE), lambda p, e: (p, 0, e),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((PB, 3, 1), lambda p, e: (p, 0, 0),
+            pl.BlockSpec((PB, 8, 1), lambda p, e: (p, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -281,7 +287,7 @@ def pack_plane_mesh_buckets(model, pid, vcap):
     """Shared static packing for the plane-mesh kernels: bucket the pairs
     by hull size and build each bucket's (Pb, 3+4D, V) table
     [vx, vy, vz, nbr_id(D), nbrx(D), nbry(D), nbrz(D)] plus per-pair
-    (margin, dedupe_r^2). Returns (subs, border) with subs entries
+    (margin, dedupe_r^2, extents lo(3)/hi(3)). Returns (subs, border) with subs entries
     (ids, tbl_tuple, marg_tuple, D) in bucket-major order, or None when a
     pair's mesh is graph-less (brute scan keeps the XLA path) or a hull is
     too large for VMEM."""
@@ -338,17 +344,29 @@ def pack_plane_mesh_buckets(model, pid, vcap):
             tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 0].T
             tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 1].T
             tbl[i, 3 + 3 * D : 3 + 4 * D] = coords[:, :, 2].T
-        # per-pair hull radius about the mesh frame origin: the kernel's
-        # conservative support-distance bound (skip gate)
-        rb = np.array(
-            [np.linalg.norm(verts[p][vmask[p]], axis=1).max()
-             for p in ids],
-            np.float32,
+        # per-pair directed extents (axis-aligned lo/hi in the mesh frame):
+        # the kernel's conservative support-distance bound (skip gate).
+        # min_v (a . v) >= sum_i min(a_i lo_i, a_i hi_i) — much tighter
+        # than the bounding-sphere bound for elongated bone hulls whose
+        # origin sits far from the ground-facing end (the sphere bound kept
+        # most of the humanoid's 75 floor x mesh pairs "near" throughout
+        # nominal gait; measured ~0.25 ms of the 0.49 ms mega forward).
+        lo = np.array(
+            [verts[p][vmask[p]].min(axis=0) for p in ids], np.float32
         )
-        marg = np.stack(
-            [margin[ids], (dedupe[ids] ** 2).astype(np.float32), rb],
+        hi = np.array(
+            [verts[p][vmask[p]].max(axis=0) for p in ids], np.float32
+        )
+        marg = np.concatenate(
+            [
+                np.stack(
+                    [margin[ids], (dedupe[ids] ** 2).astype(np.float32)],
+                    axis=1,
+                ),
+                lo, hi,
+            ],
             axis=1,
-        )
+        )  # (Pb, 8): [margin dedupe2 lo(3) hi(3)]
         subs.append((
             ids,
             (tbl.tobytes(), tbl.shape),

@@ -830,7 +830,7 @@ class _MegaAcc:
     (pallas_fk.fk_env_block), the rest from the small packed vector
     [qpos qvel ctrl qfrc_applied xfrc ws]."""
 
-    def __init__(self, plan, vp, fk, zero):
+    def __init__(self, plan, vp, fk, zero, ws_arr=None):
         from . import pallas_fk as pfk
 
         nq, nv, nb, nu = plan.nq, plan.nv, plan.nbody, plan.sm_nu
@@ -844,6 +844,7 @@ class _MegaAcc:
         self.o_xfrc = self.o_app + nv
         self.o_ws = self.o_xfrc + 6 * nb
         self.nv = nv
+        self._ws_arr = ws_arr  # megastep loop: ws is a carried value
 
     def xip(self, b, k):
         return self._mat(self.fk.xipos[b][k], self._zero)
@@ -867,6 +868,8 @@ class _MegaAcc:
         return self.vp[self.o_xfrc + 6 * b + i]
 
     def ws_vec(self):
+        if self._ws_arr is not None:
+            return self._ws_arr
         return self.vp[self.o_ws:self.o_ws + self.nv]
 
 
@@ -1098,13 +1101,699 @@ def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero):
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
+def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
+                       tolerance, mega, maxd, vp, cp_read, tbl_refs,
+                       mus_refs, qpos, qvel, act_get, ws_arr, W):
+    """One full forward on an env block: FK + collision + smooth stage
+    (mega) or packed staged inputs (vp), constraint assembly, and the
+    Newton solve. Outputs are emitted through the static writer dict `W`
+    (name -> callable); absent keys skip the corresponding computation
+    entirely, so the same body serves the per-forward kernel (writes to
+    pallas outputs) and the megastep loop kernel (writes qacc/euler_dv/
+    act_dot to VMEM scratch and nothing else).
+
+    Writer names: x (qacc), asm, qfrc, force (non-mega rows), cdist/cgid/
+    cforce (mega contact meta + per-slot forces), euler_dv, act_dot.
+
+    vp: the packed per-env vector (layouts documented in
+    _make_fused_kernel). qpos/qvel/act_get/ws_arr are passed separately so
+    the megastep loop can substitute carried values; per-forward callers
+    pass the vp slices."""
+    from . import pallas_fk as pfk
+
+    nv, ncon = plan.nv, plan.ncon
+    ne, nfl, nl = plan.ne, plan.nfl, plan.nl
+    nq = plan.nq
+
+    def _w(name, v):
+        f = W.get(name)
+        if f is not None:
+            f(v)
+
+    nb = plan.nbody
+    zero_env = qpos[0] * 0.0
+    ik_contacts = None
+
+    if mega:
+        fkres = pfk.fk_env_block(plan.fkp, lambda q: qpos[q])
+        if ncon:
+            ik_contacts = pfk.collide_env_block(
+                plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
+            )
+        acc_m = _MegaAcc(plan, vp, fkres, zero_env, ws_arr=ws_arr)
+        (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
+            _smooth_preamble(plan, acc_m, qpos, qvel, zero_env)
+        )
+        if plan.mp is not None:
+            # tendon + muscle-FLV stage (MXU form); act_dot is an
+            # integrator input, emitted alongside the solve outputs
+            mp = plan.mp
+            act_row = lambda i: act_get(mp.act_adr[i])
+            ctrl_row = lambda i: vp[acc_m.o_ctrl + mp.mus[i]]
+            qfrc_mus, mus_act_dot = pfk.muscle_env_block(
+                mp, fkres, com_l, cdof_tab, qvel, act_row,
+                ctrl_row, mus_refs, zero_env,
+            )
+            qfs_vec = qfs_vec + qfrc_mus
+            if mp.act_adr == list(range(plan.na)):
+                _w("act_dot", mus_act_dot)
+            else:
+                inv = [0] * plan.na
+                for i, a_s in enumerate(mp.act_adr):
+                    inv[a_s] = i
+                _w("act_dot", jnp.stack(
+                    [mus_act_dot[inv[a_s]] for a_s in range(plan.na)]
+                ))
+
+        def cdof(v, i):
+            return cdof_tab[v][i]
+    elif plan.smooth:
+        (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
+            _smooth_preamble(plan, _VpAcc(plan, vp), qpos, qvel,
+                             zero_env)
+        )
+
+        def cdof(v, i):
+            return cdof_tab[v][i]
+    else:
+        o_cd = nq + nv
+        o_com = o_cd + nv * 6
+        o_ci = o_com + 3
+        o_qfs = o_ci + nb * 10
+        o_ws = o_qfs + nv
+        o_arm = o_ws + nv
+        com_l = [vp[o_com + i] for i in range(3)]
+        ci_list = [vp[o_ci + 10 * b:o_ci + 10 * b + 10]
+                   for b in range(nb)]
+        qfs_vec = vp[o_qfs:o_qfs + nv]
+        ws_vec = vp[o_ws:o_ws + nv]
+
+        def cdof(v, i):  # (BE,)
+            return vp[o_cd + v * 6 + i]
+
+        def arm_at(a):
+            return vp[o_arm + a]
+
+    # --- composite rigid body: build M from cinert in VMEM (the XLA
+    # crb einsums + the dense qM relayout cost ~20 ms/step) ---
+    crb = list(ci_list)  # (10, BE) each
+    for b in plan.topo_rev:  # children accumulate into parents
+        p = plan.body_parent[b]
+        crb[p] = crb[p] + crb[b]
+
+    buf = []  # per dof: force vector (6 rows of (BE,))
+    for v in range(nv):
+        c = crb[plan.dof_bodyid[v]]
+        w0, w1, w2 = cdof(v, 0), cdof(v, 1), cdof(v, 2)
+        l0, l1, l2 = cdof(v, 3), cdof(v, 4), cdof(v, 5)
+        iw0 = c[0] * w0 + c[3] * w1 + c[4] * w2
+        iw1 = c[3] * w0 + c[1] * w1 + c[5] * w2
+        iw2 = c[4] * w0 + c[5] * w1 + c[2] * w2
+        mc0, mc1, mc2, m = c[6], c[7], c[8], c[9]
+        buf.append([
+            iw0 + (mc1 * l2 - mc2 * l1),
+            iw1 + (mc2 * l0 - mc0 * l2),
+            iw2 + (mc0 * l1 - mc1 * l0),
+            m * l0 - (mc1 * w2 - mc2 * w1),
+            m * l1 - (mc2 * w0 - mc0 * w2),
+            m * l2 - (mc0 * w1 - mc1 * w0),
+        ])
+
+    zero_be = zero_env
+    Mll = [[None] * nv for _ in range(nv)]
+    for a in range(nv):
+        for b2 in range(a + 1):
+            if plan.anc[a, b2] or plan.anc[b2, a]:
+                s = buf[a][0] * cdof(b2, 0)
+                for i in range(1, 6):
+                    s = s + buf[a][i] * cdof(b2, i)
+            else:
+                s = zero_be
+            if a == b2:
+                s = s + arm_at(a)
+            Mll[a][b2] = s
+            Mll[b2][a] = s
+    M = jnp.stack([jnp.stack(r) for r in Mll])  # (nv, nv, BE)
+
+    # the smooth acceleration M^-1 qfrc_smooth is solved HERE rather
+    # than upstream: it keeps the unrolled Cholesky chain (the only
+    # consumer of qLD on this path) out of the XLA graph entirely
+    # (~28 ms/step of small-op kernels at 4096 envs)
+    asm = pn.chol_solve_spd(M, qfs_vec, plan.nv)
+    ws = ws_vec
+    eshape = qpos.shape[1:]  # trailing env block: (BE,) or (S, 128)
+    f32 = qpos.dtype
+
+    def full(v):
+        return jnp.full((1, *eshape), v, dtype=f32)
+
+    zeros1 = jnp.zeros((1, *eshape), dtype=f32)
+    ones1 = jnp.ones((1, *eshape), dtype=f32)
+
+    # ------------------------------------------------------------------
+    # per-group row pieces; every J list entry is (n_group_rows, E).
+    # aref / R / act are finalized PER PART (one-hot rows read qvel
+    # directly; contact rows reuse per-axis velocities), so no full-row
+    # pos/k/b/imp/riw/mask arrays ever exist — the earlier masked
+    # formulation held 8 extra (nrows, E) arrays and blew the 16 MB
+    # scoped-VMEM budget on A1 (306 rows).
+    # ------------------------------------------------------------------
+    J_parts = [[] for _ in range(nv)]  # per dof
+    aref_parts, R_parts, act_parts = [], [], []
+
+    def finish_row(k, b, imp, pos, vel, iw):
+        aref_parts.append(-b * vel - k * imp * pos)
+        R_parts.append(jnp.maximum(
+            (1.0 - imp) / jnp.maximum(imp, MINVAL) * iw, MINVAL
+        ))
+
+    # --- JOINT equalities ---
+    for r in plan.eq:
+        q1r = qpos[r["q1"]][None]  # (1, E)
+        dif = (qpos[r["q2"]][None] - plan.qpos0[r["q2"]]) * r["m2"]
+        d0, d1, d2, d3, d4 = r["data"]
+        poly = d0 + d1 * dif + d2 * dif**2 + d3 * dif**3 + d4 * dif**4
+        dpoly = d1 + 2 * d2 * dif + 3 * d3 * dif**2 + 4 * d4 * dif**3
+        pos = q1r - plan.qpos0[r["q1"]] - poly
+        for v in range(nv):
+            piece = None
+            if v == r["v1"]:
+                piece = ones1
+            if v == r["v2"] and r["m2"]:
+                add = -dpoly
+                piece = add if piece is None else piece + add
+            J_parts[v].append(piece if piece is not None else zeros1)
+        k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
+        vel = qvel[r["v1"]][None]
+        if r["m2"]:
+            vel = vel - dpoly * qvel[r["v2"]][None]
+        finish_row(k, b, imp, pos, vel, r["iw"])
+        act_parts.append(ones1)
+
+    # --- dof friction loss ---
+    for r in plan.fl:
+        for v in range(nv):
+            J_parts[v].append(ones1 if v == r["v"] else zeros1)
+        k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], zeros1)
+        finish_row(k, b, imp, zeros1, qvel[r["v"]][None], r["iw"])
+        act_parts.append(ones1)
+
+    # --- joint limits ---
+    for r in plan.lim:
+        qv = qpos[r["q"]][None]
+        dlo = qv - r["lo"]
+        dhi = r["hi"] - qv
+        use_lo = dlo <= dhi
+        dist = jnp.where(use_lo, dlo, dhi)
+        sign = jnp.where(use_lo, 1.0, -1.0).astype(f32)
+        pos = dist - r["margin"]
+        for v in range(nv):
+            J_parts[v].append(sign if v == r["v"] else zeros1)
+        k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
+        finish_row(k, b, imp, pos, sign * qvel[r["v"]][None], r["iw"])
+        act_parts.append((dist < r["margin"]).astype(f32))
+
+    # ------------------------------------------------------------------
+    # contacts + solve + writes. For mega models, the whole section is
+    # a closure over a STATIC slot subset so it can be instantiated
+    # twice under pl.when: a FULL branch (all slots) and a FAST branch
+    # (plan.mega_fast — all k==P slots + the top depth-ranked pairs of
+    # top-k groups), taken whenever no env in the block has an
+    # outside-subset slot active. Excluded inactive rows contribute
+    # exactly zero to cost/forces/Hessian, so the branches agree up to
+    # f32 summation order.
+    # ------------------------------------------------------------------
+    ncon_full = ncon
+    J_top, aref_top = J_parts, aref_parts
+    R_top, act_top = R_parts, act_parts
+    if mega and ncon and "cdist" in W:
+        # collision meta (GRF readout) covers ALL slots — written
+        # before the solve branches
+        _w("cdist", jnp.stack(ik_contacts[1]))
+        _w("cgid", jnp.stack(ik_contacts[2]))
+
+    def _rows_solve_write(sub):
+        ncon = ncon_full if sub is None else len(sub)
+        J_parts = [list(p) for p in J_top]
+        aref_parts = list(aref_top)
+        R_parts = list(R_top)
+        act_parts = list(act_top)
+        mu_all = None
+        if ncon:
+            if plan.uniform:
+                if ik_contacts is not None:
+                    # mega: slot data straight from the in-kernel collision
+                    # stage — never touches HBM in any layout
+                    ik_pos, ik_dist, ik_gid = ik_contacts
+                    if sub is not None:
+                        ik_pos = [ik_pos[c] for c in sub]
+                        ik_dist = [ik_dist[c] for c in sub]
+                        ik_gid = [ik_gid[c] for c in sub]
+                    from . import pallas_fk as pfk
+
+                    cpos = jnp.stack([
+                        jnp.stack([
+                            pfk.materialize(p[i], zero_env)
+                            for i in range(3)
+                        ])
+                        for p in ik_pos
+                    ])  # (ncon, 3, E)
+                    dist = jnp.stack(ik_dist)
+                    gid2 = jnp.stack(ik_gid)
+                    mu1 = plan.c_fric[0]
+                    mu2 = plan.c_fric[1]
+                else:
+                    # uniform statics: [pos(3) dist geom2 (fric(2))] —
+                    # frame, margin, kbi params and geom1's body are plan
+                    # constants
+                    cp = cp_read()
+                    cpos = cp[:, 0:3, :]
+                    dist = cp[:, 3, :]
+                    gid2 = cp[:, 4, :]
+                    if plan.fric_uniform:
+                        mu1 = plan.c_fric[0]
+                        mu2 = plan.c_fric[1]
+                    else:
+                        mu1 = cp[:, 5, :]
+                        mu2 = cp[:, 6, :]
+                frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
+                # body one-hots from the raw geom id (geom -> body is a
+                # static table; the plane's body 0 has an empty chain)
+                oh = {}
+                for bb, geoms in plan.body_geoms.items():
+                    if not plan.dofmask[bb].any():
+                        continue
+                    o = (gid2 == float(geoms[0])).astype(f32)
+                    for g in geoms[1:]:
+                        o = o + (gid2 == float(g)).astype(f32)
+                    oh[bb] = o
+                iwt = None
+                for bb, o in oh.items():
+                    if plan.body_iw[bb]:
+                        t = o * plan.body_iw[bb]
+                        iwt = t if iwt is None else iwt + t
+                if iwt is None:
+                    iwt = jnp.zeros_like(dist)
+            else:
+                # generic pack: [pos(3) frame(9) dist margin fric(nf)
+                #                solref(2) solimp(5) iw_t bid1 bid2]
+                nf = plan.nfric
+                cp = cp_read()
+                if sub is not None:
+                    cp = jnp.stack([cp[c] for c in sub])
+                cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
+                frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
+                dist = cp[:, 12, :]      # (ncon, BE)
+                marg = cp[:, 13, :]
+                fric = cp[:, 14:14 + nf, :]   # (ncon, nf, BE)
+                srefc = cp[:, 14 + nf:16 + nf, :]  # (ncon, 2, BE)
+                simpc = cp[:, 16 + nf:21 + nf, :]  # (ncon, 5, BE)
+                iwt = cp[:, 21 + nf, :]       # (ncon, BE)
+                bid1 = cp[:, 22 + nf, :]
+                bid2 = cp[:, 23 + nf, :]
+                mu1 = fric[:, 0, :]
+                mu2 = fric[:, 1, :]
+
+                # chain-mask difference via body one-hots (bodyids are
+                # traced; the chain table is static so only bodies with
+                # nonempty chains contribute)
+                oh = {}
+                for bb in range(plan.nbody):
+                    if plan.dofmask[bb].any():
+                        oh[bb] = (bid2 == float(bb)).astype(f32) - (
+                            bid1 == float(bb)
+                        ).astype(f32)
+
+            offx = cpos[:, 0, :] - com_l[0][None]
+            offy = cpos[:, 1, :] - com_l[1][None]
+            offz = cpos[:, 2, :] - com_l[2][None]
+
+            jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
+            maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
+            for v in range(nv):
+                maskd = None
+                for bb, o in oh.items():
+                    if plan.dofmask[bb, v]:
+                        maskd = o if maskd is None else maskd + o
+                maskd_of[v] = maskd
+                if maskd is None:
+                    for t in range(3):
+                        jt[t][v] = jnp.zeros_like(dist)
+                    continue
+                ax = cdof(v, 0)[None]
+                ay = cdof(v, 1)[None]
+                az = cdof(v, 2)[None]
+                jp0 = (ay * offz - az * offy + cdof(v, 3)[None]) * maskd
+                jp1 = (az * offx - ax * offz + cdof(v, 4)[None]) * maskd
+                jp2 = (ax * offy - ay * offx + cdof(v, 5)[None]) * maskd
+                if plan.uniform:
+                    for t in range(3):
+                        jt[t][v] = (
+                            frame_c[t][0] * jp0
+                            + frame_c[t][1] * jp1
+                            + frame_c[t][2] * jp2
+                        )
+                else:
+                    for t in range(3):
+                        jt[t][v] = (
+                            frame[:, 3 * t + 0, :] * jp0
+                            + frame[:, 3 * t + 1, :] * jp1
+                            + frame[:, 3 * t + 2, :] * jp2
+                        )
+
+            if plan.uniform:
+                pos_c = dist - plan.c_margin
+                kc, bc, impc = _kbi_static(
+                    plan, plan.c_solref, plan.c_solimp, pos_c
+                )
+                kc = kc if hasattr(kc, "shape") else jnp.full_like(pos_c, kc)
+                bc = bc if hasattr(bc, "shape") else jnp.full_like(pos_c, bc)
+                mu0 = mu1
+                act_c = (dist < plan.c_margin).astype(f32)
+            else:
+                pos_c = dist - marg
+                kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
+                mu0 = fric[:, 0, :]
+                act_c = (dist < marg).astype(f32)
+
+            # static liveness: dofs on no candidate body's chain have
+            # all-zero axis rows (maskd_of None) — skipped in every hot
+            # pass here and in solve_core (pyr["live"])
+            jt_live = [maskd_of[v] is not None for v in range(nv)]
+
+            # per-axis velocities (vel of any contact row is a combination)
+            vel_ax = []
+            for t in range(3):
+                s = None
+                for v in range(nv):
+                    if not jt_live[v]:
+                        continue
+                    term = jt[t][v] * qvel[v][None]
+                    s = term if s is None else s + term
+                if s is None:
+                    s = jnp.zeros_like(dist)
+                vel_ax.append(s)  # (ncon, E)
+            kimp = kc * impc * pos_c
+            R_nc = jnp.maximum(
+                (1.0 - impc) / jnp.maximum(impc, MINVAL) * iwt, MINVAL
+            )
+
+            if not plan.elliptic:
+                # condim-3 pyramid: the 4 facet rows per slot are NOT
+                # materialized into J — solve_core's axis form (pyr) runs
+                # the hot passes on the 3 axis rows jt[t][v] directly
+                # (25-30% fewer row ops in Hessian/matvec/grad)
+
+                def rep4(x):  # (ncon, E) -> (4*ncon, E), BLOCKED layout
+                    return jnp.concatenate([x, x, x, x], axis=0)
+
+                # blocked facet layout: rows [all +mu1 | all -mu1 |
+                # all +mu2 | all -mu2] — matches solve_core's pyr form;
+                # fused_constraint remaps to per-contact order on output
+                aref_parts.append(jnp.concatenate(
+                    [-bc * (vel_ax[0] + mu1 * vel_ax[1]) - kimp,
+                     -bc * (vel_ax[0] - mu1 * vel_ax[1]) - kimp,
+                     -bc * (vel_ax[0] + mu2 * vel_ax[2]) - kimp,
+                     -bc * (vel_ax[0] - mu2 * vel_ax[2]) - kimp],
+                    axis=0,
+                ))
+                riw_f = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
+                R_parts.append(rep4(jnp.maximum(R_nc * riw_f, MINVAL)))
+                act_parts.append(rep4(act_c))
+            else:
+                # elliptic cones: per contiguous equal-dim run, dim rows per
+                # slot (normal + tangentials [+ torsion/rolling]); friction
+                # rows get aref = -b*vel and the impratio-scaled R
+                # (constraint.py:444-452). Zone logic lives in solve_core.
+                con_dims = (
+                    plan.con_dims if sub is None
+                    else [plan.con_dims[c] for c in sub]
+                )
+                mu_parts = []
+                i = 0
+                while i < ncon:
+                    d = con_dims[i]
+                    j = i
+                    while j < ncon and con_dims[j] == d:
+                        j += 1
+                    cnt = j - i
+                    sl = slice(i, j)
+                    if d == 1:
+                        # frictionless: one unilateral row
+                        for v in range(nv):
+                            J_parts[v].append(jt[0][v][sl])
+                        aref_parts.append(-bc[sl] * vel_ax[0][sl] - kimp[sl])
+                        R_parts.append(R_nc[sl])
+                        act_parts.append(act_c[sl])
+                        i = j
+                        continue
+                    # angular rows (torsion + rolling) only for this run's
+                    # slots — a full (ncon, E) ja per dof/axis would cost
+                    # another ~2 MB of VMEM on A1
+                    ja_run = None
+                    if d > 3:
+                        ja_run = [[None] * nv for _ in range(3)]
+                        for v in range(nv):
+                            maskd = maskd_of[v]
+                            if maskd is None:
+                                z = jnp.zeros((cnt, *eshape), dtype=f32)
+                                for t in range(3):
+                                    ja_run[t][v] = z
+                                continue
+                            ms = maskd[sl]
+                            jr0 = cdof(v, 0)[None] * ms
+                            jr1 = cdof(v, 1)[None] * ms
+                            jr2 = cdof(v, 2)[None] * ms
+                            for t in range(3):
+                                ja_run[t][v] = (
+                                    frame[:, 3 * t + 0, :][sl] * jr0
+                                    + frame[:, 3 * t + 1, :][sl] * jr1
+                                    + frame[:, 3 * t + 2, :][sl] * jr2
+                                )
+                    for v in range(nv):
+                        rows_v = [jt[t][v][sl] for t in range(min(d, 3))]
+                        if d > 3:
+                            rows_v += [ja_run[t][v] for t in range(d - 3)]
+                        blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
+                        J_parts[v].append(blk.reshape(cnt * d, *eshape))
+
+                    # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
+                    vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
+                    if d > 3:
+                        for t in range(d - 3):
+                            s = ja_run[t][0] * qvel[0][None]
+                            for v in range(1, nv):
+                                s = s + ja_run[t][v] * qvel[v][None]
+                            vel_rows.append(s)
+                    aref_rows = [-bc[sl] * vel_rows[0] - kimp[sl]]
+                    for t in range(1, d):
+                        aref_rows.append(-bc[sl] * vel_rows[t])
+                    aref_parts.append(
+                        jnp.stack(aref_rows, axis=1).reshape(cnt * d, *eshape)
+                    )
+                    m0 = mu0[sl]
+                    R_rows = [R_nc[sl]]
+                    for t in range(1, d):
+                        mui = fric[:, t - 1, :][sl]
+                        R_rows.append(jnp.maximum(
+                            R_nc[sl] * m0 * m0
+                            / (jnp.maximum(mui * mui, MINVAL)
+                               * plan.impratio),
+                            MINVAL,
+                        ))
+                    R_parts.append(
+                        jnp.stack(R_rows, axis=1).reshape(cnt * d, *eshape)
+                    )
+                    act_parts.append(jnp.stack(
+                        [act_c[sl]] * d, axis=1
+                    ).reshape(cnt * d, *eshape))
+                    mu_parts.append(m0 / (plan.impratio ** 0.5))
+                    i = j
+                mu_all = (
+                    jnp.concatenate(mu_parts, axis=0) if mu_parts else None
+                )
+
+        # ------------------------------------------------------------------
+        # stitch rows and solve
+        # ------------------------------------------------------------------
+        J = [
+            jnp.concatenate(J_parts[v], axis=0) if J_parts[v] else None
+            for v in range(nv)
+        ]
+        aref = jnp.concatenate(aref_parts, axis=0)
+        R = jnp.concatenate(R_parts, axis=0)
+        act = jnp.concatenate(act_parts, axis=0)
+        D = 1.0 / R
+        if plan.nfl:
+            floss_fl = jnp.concatenate(
+                [jnp.full((1, *eshape), r["floss"], dtype=f32) for r in plan.fl],
+                axis=0,
+            )
+        else:
+            floss_fl = jnp.zeros((1, *eshape), dtype=f32)
+
+        s0 = plan.ne + plan.nfl + plan.nl
+        if plan.elliptic and ncon:
+            # run layout over the (possibly subset) slot list
+            cd_l = (
+                plan.con_dims if sub is None
+                else [plan.con_dims[c] for c in sub]
+            )
+            ell_runs_l = []
+            adr_ = s0
+            i0_ = 0
+            while i0_ < ncon:
+                d_ = cd_l[i0_]
+                j0_ = i0_
+                while j0_ < ncon and cd_l[j0_] == d_:
+                    j0_ += 1
+                cnt_ = j0_ - i0_
+                if d_ >= 3:
+                    ell_runs_l.append((adr_, cnt_, d_))
+                    adr_ += cnt_ * d_
+                else:
+                    adr_ += cnt_
+                i0_ = j0_
+            ell_runs_l = tuple(ell_runs_l)
+        else:
+            ell_runs_l = ()
+        pyr = None
+        if ncon and not plan.elliptic:
+            pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
+                       live=jt_live)
+
+        x, force = pn.solve_core(
+            J, M, aref, D, R, floss_fl, act, asm, ws,
+            nv, iterations, ls_iterations, plan.ne, plan.nfl,
+            ell_runs=ell_runs_l,
+            ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
+        )
+
+        _w("x", x)
+        if not mega:
+            if sub is None:
+                _w("force", force)
+            else:
+                # scatter the reduced rows back to the FULL row
+                # layout (excluded inactive slots carry zero force)
+                rows = [force[:s0]] if s0 else []
+                ladr = s0
+                in_sub = set(sub)
+                for c_full in range(ncon_full):
+                    r_ = plan.rows_per[c_full]
+                    if c_full in in_sub:
+                        rows.append(force[ladr:ladr + r_])
+                        ladr += r_
+                    else:
+                        rows.append(
+                            jnp.zeros((r_, *eshape), dtype=f32)
+                        )
+                _w("force", jnp.concatenate(rows, axis=0))
+        elif "cforce" in W:
+            # efc_force_contact per-slot forces over the FULL slot
+            # layout, emitted from the VMEM-resident force rows
+            # (blocked facet layout: facet f of subset slot i lives at
+            # s0 + f*ncon + i; slots outside the subset carry zero
+            # force by construction)
+            pos_of = (
+                {c: i for i, c in enumerate(sub)}
+                if sub is not None else None
+            )
+            cf_rows = []
+            for c_full in range(ncon_full):
+                ci = c_full if pos_of is None else pos_of.get(c_full)
+                for f in range(maxd):
+                    if ci is not None and f < 4:
+                        cf_rows.append(force[s0 + f * ncon + ci])
+                    else:
+                        cf_rows.append(zero_env)
+            _w("cforce", jnp.stack(cf_rows))
+        if pyr is not None and "qfrc" in W:
+            ffc0 = force[s0:s0 + ncon]
+            ffc1 = force[s0 + ncon:s0 + 2 * ncon]
+            ffc2 = force[s0 + 2 * ncon:s0 + 3 * ncon]
+            ffc3 = force[s0 + 3 * ncon:s0 + 4 * ncon]
+            fn = ffc0 + ffc1 + ffc2 + ffc3
+            f1c = mu1 * (ffc0 - ffc1)
+            f2c = mu2 * (ffc2 - ffc3)
+            ftop = force[:s0] if s0 else None
+            qfrc = []
+            live = pyr["live"]
+            for v in range(nv):
+                if live[v]:
+                    s = jnp.sum(
+                        jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c,
+                        axis=0,
+                    )
+                else:
+                    s = zero_env
+                if s0:
+                    s = s + jnp.sum(J[v] * ftop, axis=0)
+                qfrc.append(s)
+            _w("qfrc", jnp.stack(qfrc))
+        elif "qfrc" in W:
+            _w("qfrc", jnp.stack(
+                [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
+            ))
+
+
+        if plan.euler_dv and "euler_dv" in W:
+            # Euler implicit damping: dv = (M + h diag(damping))^-1 M x —
+            # reuses the VMEM-resident M so the integrator needs no qM
+            h = plan.timestep
+            mq = jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
+            mh = [
+                [
+                    M[a, b] + h * plan.dof_damping[a]
+                    if a == b else M[a, b]
+                    for b in range(nv)
+                ]
+                for a in range(nv)
+            ]
+            _w("euler_dv", pn.chol_solve_spd(mh, mq, nv))
+    if mega and ncon and plan.mega_fast is not None:
+        outside = sorted(set(range(ncon)) - set(plan.mega_fast))
+        act_out = jnp.stack([ik_contacts[1][c] for c in outside])
+        cond = jnp.max(
+            jnp.where(act_out < plan.c_margin, 1.0, 0.0)
+        ) > 0.0
+
+        @pl.when(cond)
+        def _full_branch():
+            _rows_solve_write(None)
+
+        @pl.when(jnp.logical_not(cond))
+        def _fast_branch():
+            _rows_solve_write(plan.mega_fast)
+    elif (not mega and ncon and plan.elliptic
+          and getattr(plan, "ell_fast", None) is not None):
+        # elliptic (A1): same fast/full specialization; the activity
+        # condition reads the packed per-slot fields (generic pack
+        # cols 12/13 = dist / includemargin)
+        cp_cond = cp_read()
+        outside = sorted(set(range(ncon)) - set(plan.ell_fast))
+        act_out = jnp.stack([
+            jnp.where(cp_cond[c, 12] < cp_cond[c, 13], 1.0, 0.0)
+            for c in outside
+        ])
+        cond = jnp.max(act_out) > 0.0
+
+        @pl.when(cond)
+        def _full_branch_e():
+            _rows_solve_write(None)
+
+        @pl.when(jnp.logical_not(cond))
+        def _fast_branch_e():
+            _rows_solve_write(plan.ell_fast)
+    else:
+        _rows_solve_write(None)
+    _w("asm", asm)
+
+
 def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
                        scale=None, tolerance=None, grouped=False,
                        mega=False, maxd=4):
-    nv, ncon = plan.nv, plan.ncon
-    ne, nfl, nl = plan.ne, plan.nfl, plan.nl
-
-    nq = plan.nq
+    nq, nv = plan.nq, plan.nv
 
     def kernel(*refs):
         # vp: ONE packed per-env vector (see fused_constraint):
@@ -1113,8 +1802,9 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         #   smooth:     [qpos qvel xipos(nbody*3) ximat(nbody*9)
         #                xanchor(njnt*3) xaxis(njnt*3) ctrl(nu)
         #                qfrc_applied(nv) xfrc(nbody*6) ws(nv)]
-        #   mega:       [qpos qvel ctrl(nu) qfrc_applied(nv) xfrc(nbody*6)
-        #                ws(nv)] — FK and collision run IN KERNEL
+        #   mega:       [qpos qvel act(na) ctrl(nu) qfrc_applied(nv)
+        #                xfrc(nbody*6) ws(nv)] — FK and collision run IN
+        #                KERNEL
         # grouped layout: every ref block carries a unit group axis ahead
         # of the (S, 128) env block (the group axis is leading in the HBM
         # arrays so any power-of-two S lowers — see _fused_batched); drop
@@ -1133,6 +1823,7 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         else:
             (vp_ref, cp_ref, x_ref, force_ref, qfrc_ref, asm_ref,
              *extra_refs) = refs
+            tbl_refs = mus_refs = ()
 
         def rd(ref):
             v = ref[...]
@@ -1146,667 +1837,44 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         vp = rd(vp_ref)
         qpos = vp[0:nq]                      # (nq, BE)
         qvel = vp[nq:nq + nv]                # (nv, BE)
-        nb = plan.nbody
-        zero_env = qpos[0] * 0.0
-        ik_contacts = None
 
+        def mkw(ref):
+            return lambda v: wr(ref, v)
+
+        W = {"x": mkw(x_ref), "asm": mkw(asm_ref), "qfrc": mkw(qfrc_ref)}
         if mega:
-            fkres = pfk.fk_env_block(plan.fkp, lambda q: qpos[q])
-            if ncon:
-                ik_contacts = pfk.collide_env_block(
-                    plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
-                )
-            acc_m = _MegaAcc(plan, vp, fkres, zero_env)
-            (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
-                _smooth_preamble(plan, acc_m, qpos, qvel, zero_env)
-            )
-            if plan.mp is not None:
-                # tendon + muscle-FLV stage (MXU form); act_dot is an
-                # integrator input, emitted alongside the solve outputs
-                mp = plan.mp
-                act_row = (
-                    lambda i: vp[acc_m.o_act + mp.act_adr[i]]
-                )
-                ctrl_row = lambda i: vp[acc_m.o_ctrl + mp.mus[i]]
-                qfrc_mus, mus_act_dot = pfk.muscle_env_block(
-                    mp, fkres, com_l, cdof_tab, qvel, act_row,
-                    ctrl_row, mus_refs, zero_env,
-                )
-                qfs_vec = qfs_vec + qfrc_mus
-                adot_ref = extra_refs[1 if plan.euler_dv else 0]
-                if mp.act_adr == list(range(plan.na)):
-                    wr(adot_ref, mus_act_dot)
-                else:
-                    inv = [0] * plan.na
-                    for i, a_s in enumerate(mp.act_adr):
-                        inv[a_s] = i
-                    wr(adot_ref, jnp.stack(
-                        [mus_act_dot[inv[a_s]] for a_s in range(plan.na)]
-                    ))
+            o_act = nq + nv
+            o_ws = o_act + plan.na + plan.sm_nu + nv + 6 * plan.nbody
 
-            def cdof(v, i):
-                return cdof_tab[v][i]
-        elif plan.smooth:
-            (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
-                _smooth_preamble(plan, _VpAcc(plan, vp), qpos, qvel,
-                                 zero_env)
-            )
+            def act_get(s):
+                return vp[o_act + s]
 
-            def cdof(v, i):
-                return cdof_tab[v][i]
-        else:
-            o_cd = nq + nv
-            o_com = o_cd + nv * 6
-            o_ci = o_com + 3
-            o_qfs = o_ci + nb * 10
-            o_ws = o_qfs + nv
-            o_arm = o_ws + nv
-            com_l = [vp[o_com + i] for i in range(3)]
-            ci_list = [vp[o_ci + 10 * b:o_ci + 10 * b + 10]
-                       for b in range(nb)]
-            qfs_vec = vp[o_qfs:o_qfs + nv]
-            ws_vec = vp[o_ws:o_ws + nv]
-
-            def cdof(v, i):  # (BE,)
-                return vp[o_cd + v * 6 + i]
-
-            def arm_at(a):
-                return vp[o_arm + a]
-
-        # --- composite rigid body: build M from cinert in VMEM (the XLA
-        # crb einsums + the dense qM relayout cost ~20 ms/step) ---
-        crb = list(ci_list)  # (10, BE) each
-        for b in plan.topo_rev:  # children accumulate into parents
-            p = plan.body_parent[b]
-            crb[p] = crb[p] + crb[b]
-
-        buf = []  # per dof: force vector (6 rows of (BE,))
-        for v in range(nv):
-            c = crb[plan.dof_bodyid[v]]
-            w0, w1, w2 = cdof(v, 0), cdof(v, 1), cdof(v, 2)
-            l0, l1, l2 = cdof(v, 3), cdof(v, 4), cdof(v, 5)
-            iw0 = c[0] * w0 + c[3] * w1 + c[4] * w2
-            iw1 = c[3] * w0 + c[1] * w1 + c[5] * w2
-            iw2 = c[4] * w0 + c[5] * w1 + c[2] * w2
-            mc0, mc1, mc2, m = c[6], c[7], c[8], c[9]
-            buf.append([
-                iw0 + (mc1 * l2 - mc2 * l1),
-                iw1 + (mc2 * l0 - mc0 * l2),
-                iw2 + (mc0 * l1 - mc1 * l0),
-                m * l0 - (mc1 * w2 - mc2 * w1),
-                m * l1 - (mc2 * w0 - mc0 * w2),
-                m * l2 - (mc0 * w1 - mc1 * w0),
-            ])
-
-        zero_be = zero_env
-        Mll = [[None] * nv for _ in range(nv)]
-        for a in range(nv):
-            for b2 in range(a + 1):
-                if plan.anc[a, b2] or plan.anc[b2, a]:
-                    s = buf[a][0] * cdof(b2, 0)
-                    for i in range(1, 6):
-                        s = s + buf[a][i] * cdof(b2, i)
-                else:
-                    s = zero_be
-                if a == b2:
-                    s = s + arm_at(a)
-                Mll[a][b2] = s
-                Mll[b2][a] = s
-        M = jnp.stack([jnp.stack(r) for r in Mll])  # (nv, nv, BE)
-
-        # the smooth acceleration M^-1 qfrc_smooth is solved HERE rather
-        # than upstream: it keeps the unrolled Cholesky chain (the only
-        # consumer of qLD on this path) out of the XLA graph entirely
-        # (~28 ms/step of small-op kernels at 4096 envs)
-        asm = pn.chol_solve_spd(M, qfs_vec, plan.nv)
-        ws = ws_vec
-        eshape = qpos.shape[1:]  # trailing env block: (BE,) or (S, 128)
-        f32 = qpos.dtype
-
-        def full(v):
-            return jnp.full((1, *eshape), v, dtype=f32)
-
-        zeros1 = jnp.zeros((1, *eshape), dtype=f32)
-        ones1 = jnp.ones((1, *eshape), dtype=f32)
-
-        # ------------------------------------------------------------------
-        # per-group row pieces; every J list entry is (n_group_rows, E).
-        # aref / R / act are finalized PER PART (one-hot rows read qvel
-        # directly; contact rows reuse per-axis velocities), so no full-row
-        # pos/k/b/imp/riw/mask arrays ever exist — the earlier masked
-        # formulation held 8 extra (nrows, E) arrays and blew the 16 MB
-        # scoped-VMEM budget on A1 (306 rows).
-        # ------------------------------------------------------------------
-        J_parts = [[] for _ in range(nv)]  # per dof
-        aref_parts, R_parts, act_parts = [], [], []
-
-        def finish_row(k, b, imp, pos, vel, iw):
-            aref_parts.append(-b * vel - k * imp * pos)
-            R_parts.append(jnp.maximum(
-                (1.0 - imp) / jnp.maximum(imp, MINVAL) * iw, MINVAL
-            ))
-
-        # --- JOINT equalities ---
-        for r in plan.eq:
-            q1r = qpos[r["q1"]][None]  # (1, E)
-            dif = (qpos[r["q2"]][None] - plan.qpos0[r["q2"]]) * r["m2"]
-            d0, d1, d2, d3, d4 = r["data"]
-            poly = d0 + d1 * dif + d2 * dif**2 + d3 * dif**3 + d4 * dif**4
-            dpoly = d1 + 2 * d2 * dif + 3 * d3 * dif**2 + 4 * d4 * dif**3
-            pos = q1r - plan.qpos0[r["q1"]] - poly
-            for v in range(nv):
-                piece = None
-                if v == r["v1"]:
-                    piece = ones1
-                if v == r["v2"] and r["m2"]:
-                    add = -dpoly
-                    piece = add if piece is None else piece + add
-                J_parts[v].append(piece if piece is not None else zeros1)
-            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
-            vel = qvel[r["v1"]][None]
-            if r["m2"]:
-                vel = vel - dpoly * qvel[r["v2"]][None]
-            finish_row(k, b, imp, pos, vel, r["iw"])
-            act_parts.append(ones1)
-
-        # --- dof friction loss ---
-        for r in plan.fl:
-            for v in range(nv):
-                J_parts[v].append(ones1 if v == r["v"] else zeros1)
-            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], zeros1)
-            finish_row(k, b, imp, zeros1, qvel[r["v"]][None], r["iw"])
-            act_parts.append(ones1)
-
-        # --- joint limits ---
-        for r in plan.lim:
-            qv = qpos[r["q"]][None]
-            dlo = qv - r["lo"]
-            dhi = r["hi"] - qv
-            use_lo = dlo <= dhi
-            dist = jnp.where(use_lo, dlo, dhi)
-            sign = jnp.where(use_lo, 1.0, -1.0).astype(f32)
-            pos = dist - r["margin"]
-            for v in range(nv):
-                J_parts[v].append(sign if v == r["v"] else zeros1)
-            k, b, imp = _kbi_static(plan, r["solref"], r["solimp"], pos)
-            finish_row(k, b, imp, pos, sign * qvel[r["v"]][None], r["iw"])
-            act_parts.append((dist < r["margin"]).astype(f32))
-
-        # ------------------------------------------------------------------
-        # contacts + solve + writes. For mega models, the whole section is
-        # a closure over a STATIC slot subset so it can be instantiated
-        # twice under pl.when: a FULL branch (all slots) and a FAST branch
-        # (plan.mega_fast — all k==P slots + the top depth-ranked pairs of
-        # top-k groups), taken whenever no env in the block has an
-        # outside-subset slot active. Excluded inactive rows contribute
-        # exactly zero to cost/forces/Hessian, so the branches agree up to
-        # f32 summation order.
-        # ------------------------------------------------------------------
-        ncon_full = ncon
-        J_top, aref_top = J_parts, aref_parts
-        R_top, act_top = R_parts, act_parts
-        if mega and ncon:
-            # collision meta (GRF readout) covers ALL slots — written
-            # before the solve branches
-            wr(cdist_ref, jnp.stack(ik_contacts[1]))
-            wr(cgid_ref, jnp.stack(ik_contacts[2]))
-
-        def _rows_solve_write(sub):
-            ncon = ncon_full if sub is None else len(sub)
-            J_parts = [list(p) for p in J_top]
-            aref_parts = list(aref_top)
-            R_parts = list(R_top)
-            act_parts = list(act_top)
-            mu_all = None
-            if ncon:
-                if plan.uniform:
-                    if ik_contacts is not None:
-                        # mega: slot data straight from the in-kernel collision
-                        # stage — never touches HBM in any layout
-                        ik_pos, ik_dist, ik_gid = ik_contacts
-                        if sub is not None:
-                            ik_pos = [ik_pos[c] for c in sub]
-                            ik_dist = [ik_dist[c] for c in sub]
-                            ik_gid = [ik_gid[c] for c in sub]
-                        from . import pallas_fk as pfk
-
-                        cpos = jnp.stack([
-                            jnp.stack([
-                                pfk.materialize(p[i], zero_env)
-                                for i in range(3)
-                            ])
-                            for p in ik_pos
-                        ])  # (ncon, 3, E)
-                        dist = jnp.stack(ik_dist)
-                        gid2 = jnp.stack(ik_gid)
-                        mu1 = plan.c_fric[0]
-                        mu2 = plan.c_fric[1]
-                    else:
-                        # uniform statics: [pos(3) dist geom2 (fric(2))] —
-                        # frame, margin, kbi params and geom1's body are plan
-                        # constants
-                        cp = rd(cp_ref)
-                        cpos = cp[:, 0:3, :]
-                        dist = cp[:, 3, :]
-                        gid2 = cp[:, 4, :]
-                        if plan.fric_uniform:
-                            mu1 = plan.c_fric[0]
-                            mu2 = plan.c_fric[1]
-                        else:
-                            mu1 = cp[:, 5, :]
-                            mu2 = cp[:, 6, :]
-                    frame_c = plan.c_frame  # 3x3 python floats, rows n/t1/t2
-                    # body one-hots from the raw geom id (geom -> body is a
-                    # static table; the plane's body 0 has an empty chain)
-                    oh = {}
-                    for bb, geoms in plan.body_geoms.items():
-                        if not plan.dofmask[bb].any():
-                            continue
-                        o = (gid2 == float(geoms[0])).astype(f32)
-                        for g in geoms[1:]:
-                            o = o + (gid2 == float(g)).astype(f32)
-                        oh[bb] = o
-                    iwt = None
-                    for bb, o in oh.items():
-                        if plan.body_iw[bb]:
-                            t = o * plan.body_iw[bb]
-                            iwt = t if iwt is None else iwt + t
-                    if iwt is None:
-                        iwt = jnp.zeros_like(dist)
-                else:
-                    # generic pack: [pos(3) frame(9) dist margin fric(nf)
-                    #                solref(2) solimp(5) iw_t bid1 bid2]
-                    nf = plan.nfric
-                    cp = rd(cp_ref)
-                    if sub is not None:
-                        cp = jnp.stack([cp[c] for c in sub])
-                    cpos = cp[:, 0:3, :]     # (ncon, 3, BE)
-                    frame = cp[:, 3:12, :]   # (ncon, 9, BE), row-major (t, i)
-                    dist = cp[:, 12, :]      # (ncon, BE)
-                    marg = cp[:, 13, :]
-                    fric = cp[:, 14:14 + nf, :]   # (ncon, nf, BE)
-                    srefc = cp[:, 14 + nf:16 + nf, :]  # (ncon, 2, BE)
-                    simpc = cp[:, 16 + nf:21 + nf, :]  # (ncon, 5, BE)
-                    iwt = cp[:, 21 + nf, :]       # (ncon, BE)
-                    bid1 = cp[:, 22 + nf, :]
-                    bid2 = cp[:, 23 + nf, :]
-                    mu1 = fric[:, 0, :]
-                    mu2 = fric[:, 1, :]
-
-                    # chain-mask difference via body one-hots (bodyids are
-                    # traced; the chain table is static so only bodies with
-                    # nonempty chains contribute)
-                    oh = {}
-                    for bb in range(plan.nbody):
-                        if plan.dofmask[bb].any():
-                            oh[bb] = (bid2 == float(bb)).astype(f32) - (
-                                bid1 == float(bb)
-                            ).astype(f32)
-
-                offx = cpos[:, 0, :] - com_l[0][None]
-                offy = cpos[:, 1, :] - com_l[1][None]
-                offz = cpos[:, 2, :] - com_l[2][None]
-
-                jt = [[None] * nv for _ in range(3)]  # [t][v] -> (ncon, E)
-                maskd_of = [None] * nv  # chain-mask diff, reused by ang. rows
-                for v in range(nv):
-                    maskd = None
-                    for bb, o in oh.items():
-                        if plan.dofmask[bb, v]:
-                            maskd = o if maskd is None else maskd + o
-                    maskd_of[v] = maskd
-                    if maskd is None:
-                        for t in range(3):
-                            jt[t][v] = jnp.zeros_like(dist)
-                        continue
-                    ax = cdof(v, 0)[None]
-                    ay = cdof(v, 1)[None]
-                    az = cdof(v, 2)[None]
-                    jp0 = (ay * offz - az * offy + cdof(v, 3)[None]) * maskd
-                    jp1 = (az * offx - ax * offz + cdof(v, 4)[None]) * maskd
-                    jp2 = (ax * offy - ay * offx + cdof(v, 5)[None]) * maskd
-                    if plan.uniform:
-                        for t in range(3):
-                            jt[t][v] = (
-                                frame_c[t][0] * jp0
-                                + frame_c[t][1] * jp1
-                                + frame_c[t][2] * jp2
-                            )
-                    else:
-                        for t in range(3):
-                            jt[t][v] = (
-                                frame[:, 3 * t + 0, :] * jp0
-                                + frame[:, 3 * t + 1, :] * jp1
-                                + frame[:, 3 * t + 2, :] * jp2
-                            )
-
-                if plan.uniform:
-                    pos_c = dist - plan.c_margin
-                    kc, bc, impc = _kbi_static(
-                        plan, plan.c_solref, plan.c_solimp, pos_c
-                    )
-                    kc = kc if hasattr(kc, "shape") else jnp.full_like(pos_c, kc)
-                    bc = bc if hasattr(bc, "shape") else jnp.full_like(pos_c, bc)
-                    mu0 = mu1
-                    act_c = (dist < plan.c_margin).astype(f32)
-                else:
-                    pos_c = dist - marg
-                    kc, bc, impc = _kbi_dyn(plan, srefc, simpc, pos_c)
-                    mu0 = fric[:, 0, :]
-                    act_c = (dist < marg).astype(f32)
-
-                # static liveness: dofs on no candidate body's chain have
-                # all-zero axis rows (maskd_of None) — skipped in every hot
-                # pass here and in solve_core (pyr["live"])
-                jt_live = [maskd_of[v] is not None for v in range(nv)]
-
-                # per-axis velocities (vel of any contact row is a combination)
-                vel_ax = []
-                for t in range(3):
-                    s = None
-                    for v in range(nv):
-                        if not jt_live[v]:
-                            continue
-                        term = jt[t][v] * qvel[v][None]
-                        s = term if s is None else s + term
-                    if s is None:
-                        s = jnp.zeros_like(dist)
-                    vel_ax.append(s)  # (ncon, E)
-                kimp = kc * impc * pos_c
-                R_nc = jnp.maximum(
-                    (1.0 - impc) / jnp.maximum(impc, MINVAL) * iwt, MINVAL
-                )
-
-                if not plan.elliptic:
-                    # condim-3 pyramid: the 4 facet rows per slot are NOT
-                    # materialized into J — solve_core's axis form (pyr) runs
-                    # the hot passes on the 3 axis rows jt[t][v] directly
-                    # (25-30% fewer row ops in Hessian/matvec/grad)
-
-                    def rep4(x):  # (ncon, E) -> (4*ncon, E), BLOCKED layout
-                        return jnp.concatenate([x, x, x, x], axis=0)
-
-                    # blocked facet layout: rows [all +mu1 | all -mu1 |
-                    # all +mu2 | all -mu2] — matches solve_core's pyr form;
-                    # fused_constraint remaps to per-contact order on output
-                    aref_parts.append(jnp.concatenate(
-                        [-bc * (vel_ax[0] + mu1 * vel_ax[1]) - kimp,
-                         -bc * (vel_ax[0] - mu1 * vel_ax[1]) - kimp,
-                         -bc * (vel_ax[0] + mu2 * vel_ax[2]) - kimp,
-                         -bc * (vel_ax[0] - mu2 * vel_ax[2]) - kimp],
-                        axis=0,
-                    ))
-                    riw_f = 2.0 * mu0 * mu0 * (1.0 + mu0 * mu0)
-                    R_parts.append(rep4(jnp.maximum(R_nc * riw_f, MINVAL)))
-                    act_parts.append(rep4(act_c))
-                else:
-                    # elliptic cones: per contiguous equal-dim run, dim rows per
-                    # slot (normal + tangentials [+ torsion/rolling]); friction
-                    # rows get aref = -b*vel and the impratio-scaled R
-                    # (constraint.py:444-452). Zone logic lives in solve_core.
-                    con_dims = (
-                        plan.con_dims if sub is None
-                        else [plan.con_dims[c] for c in sub]
-                    )
-                    mu_parts = []
-                    i = 0
-                    while i < ncon:
-                        d = con_dims[i]
-                        j = i
-                        while j < ncon and con_dims[j] == d:
-                            j += 1
-                        cnt = j - i
-                        sl = slice(i, j)
-                        if d == 1:
-                            # frictionless: one unilateral row
-                            for v in range(nv):
-                                J_parts[v].append(jt[0][v][sl])
-                            aref_parts.append(-bc[sl] * vel_ax[0][sl] - kimp[sl])
-                            R_parts.append(R_nc[sl])
-                            act_parts.append(act_c[sl])
-                            i = j
-                            continue
-                        # angular rows (torsion + rolling) only for this run's
-                        # slots — a full (ncon, E) ja per dof/axis would cost
-                        # another ~2 MB of VMEM on A1
-                        ja_run = None
-                        if d > 3:
-                            ja_run = [[None] * nv for _ in range(3)]
-                            for v in range(nv):
-                                maskd = maskd_of[v]
-                                if maskd is None:
-                                    z = jnp.zeros((cnt, *eshape), dtype=f32)
-                                    for t in range(3):
-                                        ja_run[t][v] = z
-                                    continue
-                                ms = maskd[sl]
-                                jr0 = cdof(v, 0)[None] * ms
-                                jr1 = cdof(v, 1)[None] * ms
-                                jr2 = cdof(v, 2)[None] * ms
-                                for t in range(3):
-                                    ja_run[t][v] = (
-                                        frame[:, 3 * t + 0, :][sl] * jr0
-                                        + frame[:, 3 * t + 1, :][sl] * jr1
-                                        + frame[:, 3 * t + 2, :][sl] * jr2
-                                    )
-                        for v in range(nv):
-                            rows_v = [jt[t][v][sl] for t in range(min(d, 3))]
-                            if d > 3:
-                                rows_v += [ja_run[t][v] for t in range(d - 3)]
-                            blk = jnp.stack(rows_v, axis=1)  # (cnt, d, E)
-                            J_parts[v].append(blk.reshape(cnt * d, *eshape))
-
-                        # aref rows: normal -b*vel - k*imp*pos; friction -b*vel
-                        vel_rows = [vel_ax[t][sl] for t in range(min(d, 3))]
-                        if d > 3:
-                            for t in range(d - 3):
-                                s = ja_run[t][0] * qvel[0][None]
-                                for v in range(1, nv):
-                                    s = s + ja_run[t][v] * qvel[v][None]
-                                vel_rows.append(s)
-                        aref_rows = [-bc[sl] * vel_rows[0] - kimp[sl]]
-                        for t in range(1, d):
-                            aref_rows.append(-bc[sl] * vel_rows[t])
-                        aref_parts.append(
-                            jnp.stack(aref_rows, axis=1).reshape(cnt * d, *eshape)
-                        )
-                        m0 = mu0[sl]
-                        R_rows = [R_nc[sl]]
-                        for t in range(1, d):
-                            mui = fric[:, t - 1, :][sl]
-                            R_rows.append(jnp.maximum(
-                                R_nc[sl] * m0 * m0
-                                / (jnp.maximum(mui * mui, MINVAL)
-                                   * plan.impratio),
-                                MINVAL,
-                            ))
-                        R_parts.append(
-                            jnp.stack(R_rows, axis=1).reshape(cnt * d, *eshape)
-                        )
-                        act_parts.append(jnp.stack(
-                            [act_c[sl]] * d, axis=1
-                        ).reshape(cnt * d, *eshape))
-                        mu_parts.append(m0 / (plan.impratio ** 0.5))
-                        i = j
-                    mu_all = (
-                        jnp.concatenate(mu_parts, axis=0) if mu_parts else None
-                    )
-
-            # ------------------------------------------------------------------
-            # stitch rows and solve
-            # ------------------------------------------------------------------
-            J = [
-                jnp.concatenate(J_parts[v], axis=0) if J_parts[v] else None
-                for v in range(nv)
-            ]
-            aref = jnp.concatenate(aref_parts, axis=0)
-            R = jnp.concatenate(R_parts, axis=0)
-            act = jnp.concatenate(act_parts, axis=0)
-            D = 1.0 / R
-            if plan.nfl:
-                floss_fl = jnp.concatenate(
-                    [jnp.full((1, *eshape), r["floss"], dtype=f32) for r in plan.fl],
-                    axis=0,
-                )
-            else:
-                floss_fl = jnp.zeros((1, *eshape), dtype=f32)
-
-            s0 = plan.ne + plan.nfl + plan.nl
-            if plan.elliptic and ncon:
-                # run layout over the (possibly subset) slot list
-                cd_l = (
-                    plan.con_dims if sub is None
-                    else [plan.con_dims[c] for c in sub]
-                )
-                ell_runs_l = []
-                adr_ = s0
-                i0_ = 0
-                while i0_ < ncon:
-                    d_ = cd_l[i0_]
-                    j0_ = i0_
-                    while j0_ < ncon and cd_l[j0_] == d_:
-                        j0_ += 1
-                    cnt_ = j0_ - i0_
-                    if d_ >= 3:
-                        ell_runs_l.append((adr_, cnt_, d_))
-                        adr_ += cnt_ * d_
-                    else:
-                        adr_ += cnt_
-                    i0_ = j0_
-                ell_runs_l = tuple(ell_runs_l)
-            else:
-                ell_runs_l = ()
-            pyr = None
-            if ncon and not plan.elliptic:
-                pyr = dict(jt=jt, mu1=mu1, mu2=mu2, s0=s0, ncon=ncon,
-                           live=jt_live)
-
-            x, force = pn.solve_core(
-                J, M, aref, D, R, floss_fl, act, asm, ws,
-                nv, iterations, ls_iterations, plan.ne, plan.nfl,
-                ell_runs=ell_runs_l,
-                ell_mu=mu_all, scale=scale, tolerance=tolerance, pyr=pyr,
-            )
-
-            wr(x_ref, x)
-            if not mega:
-                if sub is None:
-                    wr(force_ref, force)
-                else:
-                    # scatter the reduced rows back to the FULL row
-                    # layout (excluded inactive slots carry zero force)
-                    rows = [force[:s0]] if s0 else []
-                    ladr = s0
-                    in_sub = set(sub)
-                    for c_full in range(ncon_full):
-                        r_ = plan.rows_per[c_full]
-                        if c_full in in_sub:
-                            rows.append(force[ladr:ladr + r_])
-                            ladr += r_
-                        else:
-                            rows.append(
-                                jnp.zeros((r_, *eshape), dtype=f32)
-                            )
-                    wr(force_ref, jnp.concatenate(rows, axis=0))
-            else:
-                # efc_force_contact per-slot forces over the FULL slot
-                # layout, emitted from the VMEM-resident force rows
-                # (blocked facet layout: facet f of subset slot i lives at
-                # s0 + f*ncon + i; slots outside the subset carry zero
-                # force by construction)
-                pos_of = (
-                    {c: i for i, c in enumerate(sub)}
-                    if sub is not None else None
-                )
-                cf_rows = []
-                for c_full in range(ncon_full):
-                    ci = c_full if pos_of is None else pos_of.get(c_full)
-                    for f in range(maxd):
-                        if ci is not None and f < 4:
-                            cf_rows.append(force[s0 + f * ncon + ci])
-                        else:
-                            cf_rows.append(zero_env)
-                wr(cforce_ref, jnp.stack(cf_rows))
-            if pyr is not None:
-                ffc0 = force[s0:s0 + ncon]
-                ffc1 = force[s0 + ncon:s0 + 2 * ncon]
-                ffc2 = force[s0 + 2 * ncon:s0 + 3 * ncon]
-                ffc3 = force[s0 + 3 * ncon:s0 + 4 * ncon]
-                fn = ffc0 + ffc1 + ffc2 + ffc3
-                f1c = mu1 * (ffc0 - ffc1)
-                f2c = mu2 * (ffc2 - ffc3)
-                ftop = force[:s0] if s0 else None
-                qfrc = []
-                live = pyr["live"]
-                for v in range(nv):
-                    if live[v]:
-                        s = jnp.sum(
-                            jt[0][v] * fn + jt[1][v] * f1c + jt[2][v] * f2c,
-                            axis=0,
-                        )
-                    else:
-                        s = zero_env
-                    if s0:
-                        s = s + jnp.sum(J[v] * ftop, axis=0)
-                    qfrc.append(s)
-                wr(qfrc_ref, jnp.stack(qfrc))
-            else:
-                wr(qfrc_ref, jnp.stack(
-                    [jnp.sum(J[v] * force, axis=0) for v in range(nv)]
-                ))
-
-
+            ws_arr = vp[o_ws:o_ws + nv]
+            cp_read = None
+            W["cdist"] = mkw(cdist_ref)
+            W["cgid"] = mkw(cgid_ref)
+            W["cforce"] = mkw(cforce_ref)
             if plan.euler_dv:
-                # Euler implicit damping: dv = (M + h diag(damping))^-1 M x —
-                # reuses the VMEM-resident M so the integrator needs no qM
-                h = plan.timestep
-                mq = jnp.stack([jnp.sum(M[a] * x, axis=0) for a in range(nv)])
-                mh = [
-                    [
-                        M[a, b] + h * plan.dof_damping[a]
-                        if a == b else M[a, b]
-                        for b in range(nv)
-                    ]
-                    for a in range(nv)
-                ]
-                wr(extra_refs[0], pn.chol_solve_spd(mh, mq, nv))
-        if mega and ncon and plan.mega_fast is not None:
-            outside = sorted(set(range(ncon)) - set(plan.mega_fast))
-            act_out = jnp.stack([ik_contacts[1][c] for c in outside])
-            cond = jnp.max(
-                jnp.where(act_out < plan.c_margin, 1.0, 0.0)
-            ) > 0.0
-
-            @pl.when(cond)
-            def _full_branch():
-                _rows_solve_write(None)
-
-            @pl.when(jnp.logical_not(cond))
-            def _fast_branch():
-                _rows_solve_write(plan.mega_fast)
-        elif (not mega and ncon and plan.elliptic
-              and getattr(plan, "ell_fast", None) is not None):
-            # elliptic (A1): same fast/full specialization; the activity
-            # condition reads the packed per-slot fields (generic pack
-            # cols 12/13 = dist / includemargin)
-            cp_cond = rd(cp_ref)
-            outside = sorted(set(range(ncon)) - set(plan.ell_fast))
-            act_out = jnp.stack([
-                jnp.where(cp_cond[c, 12] < cp_cond[c, 13], 1.0, 0.0)
-                for c in outside
-            ])
-            cond = jnp.max(act_out) > 0.0
-
-            @pl.when(cond)
-            def _full_branch_e():
-                _rows_solve_write(None)
-
-            @pl.when(jnp.logical_not(cond))
-            def _fast_branch_e():
-                _rows_solve_write(plan.ell_fast)
+                W["euler_dv"] = mkw(extra_refs[0])
+            if plan.mp is not None:
+                W["act_dot"] = mkw(
+                    extra_refs[1 if plan.euler_dv else 0]
+                )
         else:
-            _rows_solve_write(None)
-        wr(asm_ref, asm)
+            act_get = None
+            ws_arr = None
+
+            def cp_read():
+                return rd(cp_ref)
+
+            W["force"] = mkw(force_ref)
+            if plan.euler_dv:
+                W["euler_dv"] = mkw(extra_refs[0])
+
+        _forward_env_block(
+            plan, iterations, ls_iterations, scale, tolerance, mega, maxd,
+            vp, cp_read, tbl_refs, mus_refs, qpos, qvel, act_get, ws_arr, W,
+        )
 
     return kernel
 
@@ -2265,3 +2333,350 @@ def mega_forward(model: Model, data, plan: RowPlan):
     if act_dot is not None:
         out = out.replace(act_dot=act_dot)
     return out
+
+
+# ---------------------------------------------------------------------------
+# megastep: the ENTIRE control step (n_substeps physics steps, including the
+# RK4 stage loop and the integrator combines) as ONE Pallas program
+# ---------------------------------------------------------------------------
+def _act_bounds_static(model: Model):
+    """Static per-act-slot clamp bounds (forward._advance_act semantics),
+    or None when the needed leaves are traced."""
+    if model.na == 0:
+        return None
+    lim = _conc(model.actuator_actlimited)
+    rng_ = _conc(model.actuator_actrange)
+    aadr = _conc(model.actuator_actadr)
+    if lim is None or rng_ is None or aadr is None:
+        return None
+    lo = np.full(model.na, -np.inf)
+    hi = np.full(model.na, np.inf)
+    for u in range(model.nu):
+        adr = int(aadr[u])
+        if adr >= 0 and lim[u]:
+            lo[adr], hi[adr] = float(rng_[u, 0]), float(rng_[u, 1])
+    return tuple((float(a), float(b)) for a, b in zip(lo, hi))
+
+
+def _make_megastep_kernel(plan: RowPlan, iterations, ls_iterations, scale,
+                          tolerance, grouped, n_steps, rk4, use_dv,
+                          act_bounds, maxd=4):
+    """Kernel: loop the fused mega forward over n_steps physics substeps
+    with the integrator (Euler w/ in-kernel implicit-damping dv, or the
+    RK4 tableau as a coefficient-selected stage loop) applied in-kernel.
+    Carried state: qpos, qvel, act, qacc_warmstart. Emits only the final
+    carried state — every derived Data field stays stale, per the mega
+    path's documented contract (mega_forward docstring). Per-forward
+    outputs (qacc / euler_dv / act_dot) round-trip through VMEM scratch
+    because the fast/full solve branches write under pl.when and cannot
+    return values."""
+    nq, nv, na = plan.nq, plan.nv, plan.na
+    dt = plan.timestep
+
+    def kernel(*refs):
+        from . import pallas_fk as pfk
+
+        n_tbl = plan.colp.n_mesh_tables
+        n_mtbl = pfk.N_MUSCLE_TABLES if plan.mp is not None else 0
+        vp_ref = refs[0]
+        tbl_refs = refs[1:1 + n_tbl]
+        mus_refs = refs[1 + n_tbl:1 + n_tbl + n_mtbl]
+        qpos_ref, qvel_ref, act_ref, ws_ref = refs[1 + n_tbl + n_mtbl:]
+
+        def rd(ref):
+            v = ref[...]
+            if grouped:
+                return v.reshape(*v.shape[:-3], *v.shape[-2:])
+            return v
+
+        def wr(ref, v):
+            ref[...] = v[:, None] if grouped else v
+
+        vp = rd(vp_ref)
+        qpos0 = vp[0:nq]
+        qvel0 = vp[nq:nq + nv]
+        o_act = nq + nv
+        o_ws = o_act + na + plan.sm_nu + nv + 6 * plan.nbody
+        ws0 = vp[o_ws:o_ws + nv]
+        eshape = qpos0.shape[1:]
+        f32 = qpos0.dtype
+
+        if na and act_bounds is not None:
+            sh = (na,) + (1,) * len(eshape)
+            act_lo = jnp.asarray(
+                np.array([b[0] for b in act_bounds], np.float32).reshape(sh)
+            )
+            act_hi = jnp.asarray(
+                np.array([b[1] for b in act_bounds], np.float32).reshape(sh)
+            )
+        else:
+            act_lo = act_hi = None
+
+        def scoped(x_s, dv_s, adot_s):
+            def w_to(ref):
+                def w(v):
+                    ref[...] = v
+
+                return w
+
+            W = {"x": w_to(x_s)}
+            if use_dv:
+                W["euler_dv"] = w_to(dv_s)
+            if plan.mp is not None:
+                W["act_dot"] = w_to(adot_s)
+
+            def fwd_once(qpos, qvel, act, ws):
+                ag = (lambda s, act=act: act[s]) if na else None
+                _forward_env_block(
+                    plan, iterations, ls_iterations, scale, tolerance,
+                    True, maxd, vp, None, tbl_refs, mus_refs,
+                    qpos, qvel, ag, ws, W,
+                )
+
+            if rk4:
+                # mj_RungeKutta's fixed tableau, stage-uniform body with
+                # coefficient selection by stage index (one forward body in
+                # the compiled program instead of four)
+                def substep(_, c):
+                    qpos, qvel, ws = c
+
+                    def stage(i, sc):
+                        qs, vs, aq, av, ws1 = sc
+                        fwd_once(qs, vs, None, ws)
+                        qacc = x_s[...]
+                        bi = jnp.where(
+                            (i == 0) | (i == 3), 1.0 / 6.0, 1.0 / 3.0
+                        ).astype(f32)
+                        aq = aq + bi * vs
+                        av = av + bi * qacc
+                        ws1 = jnp.where(i == 0, qacc, ws1)
+                        ai = jnp.where(i == 2, 1.0, 0.5).astype(f32)
+                        qs = qpos + (dt * ai) * vs
+                        vs = qvel + (dt * ai) * qacc
+                        return (qs, vs, aq, av, ws1)
+
+                    zer = jnp.zeros_like(qvel)
+                    _qs, _vs, aq, av, ws1 = jax.lax.fori_loop(
+                        0, 4, stage, (qpos, qvel, zer, zer, zer)
+                    )
+                    return (qpos + dt * aq, qvel + dt * av, ws1)
+
+                qpos, qvel, ws = jax.lax.fori_loop(
+                    0, n_steps, substep, (qpos0, qvel0, ws0)
+                )
+                act = None
+            else:
+                def substep(_, c):
+                    qpos, qvel, act, ws = c
+                    fwd_once(qpos, qvel, act, ws)
+                    qacc = x_s[...]
+                    dv = dv_s[...] if use_dv else qacc
+                    qvel2 = qvel + dt * dv
+                    qpos2 = qpos + dt * qvel2
+                    if na:
+                        act2 = act + dt * adot_s[...]
+                        if act_lo is not None:
+                            act2 = jnp.clip(act2, act_lo, act_hi)
+                    else:
+                        act2 = act
+                    return (qpos2, qvel2, act2, qacc)
+
+                init_act = (
+                    vp[o_act:o_act + na] if na
+                    else jnp.zeros_like(qpos0[:1])
+                )
+                qpos, qvel, act, ws = jax.lax.fori_loop(
+                    0, n_steps, substep, (qpos0, qvel0, init_act, ws0)
+                )
+            wr(qpos_ref, qpos)
+            wr(qvel_ref, qvel)
+            wr(act_ref,
+               act if (act is not None and na) else jnp.zeros_like(qpos0[:1]))
+            wr(ws_ref, ws)
+
+        pl.run_scoped(
+            scoped,
+            pltpu.VMEM((nv, *eshape), jnp.float32),
+            pltpu.VMEM((nv if use_dv else 1, *eshape), jnp.float32),
+            pltpu.VMEM((max(na, 1), *eshape), jnp.float32),
+        )
+
+    return kernel
+
+
+def _megastep_batched(plan: RowPlan, iterations, ls_iterations, scale,
+                      tolerance, n_steps, rk4, use_dv, act_bounds, vec):
+    """Batched megastep entry; layout identical to _mega_batched."""
+    E = vec.shape[0]
+    f32 = jnp.float32
+    S = _mega_sublanes()
+    grouped = S > 1 and E > 128
+    if grouped:
+        R = (((E + 127) // 128 + S - 1) // S) * S
+        G = R // S
+        Ep = R * 128
+    else:
+        S = 1
+        G = (E + _BE - 1) // _BE
+        Ep = G * _BE
+
+    def tl(x):
+        if grouped:
+            g = play.to_grouped(x.astype(f32), r_pad=S)
+            return g.reshape(x.shape[1], G, S, 128)
+        x = play.moveaxis0_last(x.astype(f32))
+        if Ep != E:
+            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Ep - E)])
+        return x
+
+    nvec = vec.shape[1]
+
+    if grouped:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, 1, S, 128),
+                lambda e: (0,) * nd + (e, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+    else:
+        def spec(*dims):
+            nd = len(dims)
+            return pl.BlockSpec(
+                (*dims, _BE),
+                lambda e: (0,) * nd + (e,),
+                memory_space=pltpu.VMEM,
+            )
+
+    ins = [tl(vec)]
+    specs = [spec(nvec)]
+    for tbl in plan.colp.mesh_table_arrays():
+        ins.append(tbl)
+        specs.append(pl.BlockSpec(
+            tbl.shape, lambda e: (0, 0, 0), memory_space=pltpu.VMEM
+        ))
+    if plan.mp is not None:
+        for tbl in plan.mp.table_arrays():
+            ins.append(tbl)
+            specs.append(pl.BlockSpec(
+                tbl.shape, lambda e: (0,) * tbl.ndim,
+                memory_space=pltpu.VMEM,
+            ))
+
+    nq, nv, na = plan.nq, plan.nv, plan.na
+    kernel = _make_megastep_kernel(
+        plan, iterations, ls_iterations, scale, tolerance, grouped,
+        n_steps, rk4, use_dv, act_bounds, maxd=_MEGA_MAXD,
+    )
+
+    def osh(k):
+        return jax.ShapeDtypeStruct(
+            (k, G, S, 128) if grouped else (k, Ep), f32
+        )
+
+    ks = [nq, nv, max(na, 1), nv]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=specs,
+        out_specs=[spec(k) for k in ks],
+        out_shape=[osh(k) for k in ks],
+        interpret=pn._INTERPRET,
+        compiler_params=pn.vmem_params(),
+    )(*ins)
+
+    if grouped:
+        def back(a):
+            return play.from_grouped(
+                a.reshape(a.shape[0], G * S, 128), E
+            )
+    else:
+        def back(a):
+            return play.moveaxis_last0(a)[:E]
+
+    return tuple(back(o) for o in outs)
+
+
+_MEGASTEP_CACHE: dict = {}
+
+
+def get_megastep_solver(plan: RowPlan, iterations, ls_iterations,
+                        scale, tolerance, n_steps, rk4, use_dv, act_bounds):
+    scale = None if scale is None else float(scale)
+    tolerance = None if tolerance is None else float(tolerance)
+    key = (id(plan), iterations, ls_iterations, scale, tolerance,
+           n_steps, rk4, use_dv, act_bounds, _mega_sublanes())
+    hit = _MEGASTEP_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    def solve_b(vec):
+        return _megastep_batched(plan, iterations, ls_iterations, scale,
+                                 tolerance, n_steps, rk4, use_dv,
+                                 act_bounds, vec)
+
+    @jax.custom_batching.custom_vmap
+    def solve(vec):
+        out = solve_b(vec[None])
+        return tuple(o[0] for o in out)
+
+    @solve.def_vmap
+    def _vmap(axis_size, in_batched, vec):
+        if not in_batched[0]:
+            vec = jnp.broadcast_to(vec, (axis_size,) + vec.shape)
+        return solve_b(vec), (True,) * 4
+
+    _MEGASTEP_CACHE[key] = solve
+    return solve
+
+
+def mega_step_n(model: Model, data, plan: RowPlan, n_steps: int):
+    """Drop-in for n_steps sequential mj_steps on mega-capable models: the
+    whole control step runs as ONE Pallas program (forward + integrator,
+    looped in-kernel). Returns updated Data with qpos/qvel/act/qacc/
+    qacc_warmstart/time current and every derived field stale (the same
+    contract as mega_forward — nothing in the env step loop reads them).
+    Returns None when the integrator/act configuration is unsupported."""
+    from ..core.types import DisableBit as _DB
+    from ..core.types import IntegratorType as _IT
+
+    integ = int(model.opt.integrator)
+    if integ == int(_IT.RK4):
+        if model.na:
+            return None
+        rk4, use_dv = True, False
+    elif integ == int(_IT.EULER):
+        rk4 = False
+        if model.opt.disableflags & _DB.EULERDAMP:
+            use_dv = False
+        elif plan.euler_dv:
+            use_dv = True
+        else:
+            return None  # traced damping: keep the per-substep path
+    else:
+        return None
+    act_bounds = _act_bounds_static(model) if model.na else None
+    if model.na and act_bounds is None:
+        return None
+
+    solver_fn = get_megastep_solver(
+        plan, model.opt.iterations, model.opt.ls_iterations,
+        scale=model.stat_meaninertia * max(1, model.nv),
+        tolerance=max(model.opt.tolerance, 1e-6),
+        n_steps=int(n_steps), rk4=rk4, use_dv=use_dv,
+        act_bounds=act_bounds,
+    )
+    dtype = data.qpos.dtype
+    vec = jnp.concatenate([
+        data.qpos, data.qvel, data.act, data.ctrl, data.qfrc_applied,
+        data.xfrc_applied.reshape(-1), data.qacc_warmstart,
+    ]).astype(dtype)
+    qpos, qvel, act, ws = solver_fn(vec)
+    return data.replace(
+        qpos=qpos.astype(dtype),
+        qvel=qvel.astype(dtype),
+        act=act[:model.na].astype(dtype) if model.na else data.act,
+        qacc=ws.astype(dtype),
+        qacc_warmstart=ws.astype(dtype),
+        time=data.time + n_steps * plan.timestep,
+    )

@@ -732,8 +732,19 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                 ).astype(f32)
                 for lp in range(len(ids)):
                     p = pi + lp
-                    margin, dedupe2, rb = (float(x) for x in marg[lp])
-                    lb = b_rows[p] - (rb + 1e-6)
+                    (margin, dedupe2, lox, loy, loz, hix, hiy, hiz) = (
+                        float(x) for x in marg[lp]
+                    )
+                    # directed-extent support bound (see
+                    # pallas_collision._make_kernel): min height >=
+                    # b + sum_i min(a_i lo_i, a_i hi_i)
+                    lb = b_rows[p] - 1e-6
+                    for ai, loi, hii in (
+                        (a_rows[p][0], lox, hix),
+                        (a_rows[p][1], loy, hiy),
+                        (a_rows[p][2], loz, hiz),
+                    ):
+                        lb = lb + jnp.minimum(ai * loi, ai * hii)
                     tbl = tbl_ref[lp]  # (3+4D, V)
                     tblT = tblT_ref[lp]  # (V, 3)
                     d0_ref[p, 0] = lb

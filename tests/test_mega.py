@@ -248,3 +248,83 @@ def test_mega_step_matches_xla(humanoid_states, monkeypatch):
         scale = float(jnp.max(jnp.abs(r))) + 1e-9
         err = float(jnp.max(jnp.abs(r - g)))
         assert err / scale < 5e-4, (what, err, scale)
+
+
+def test_megastep_rk4_matches_staged(humanoid_states, monkeypatch):
+    """The megastep kernel (n substeps + RK4 combine looped IN-KERNEL,
+    ops/pallas_constraint.mega_step_n) vs n sequential staged XLA steps."""
+    env, st = humanoid_states
+    m = env.model
+    datas = st.data
+    n = 3
+
+    def n_steps_ref(d):
+        for _ in range(n):
+            d = fwd.step(m, d)
+        return d.qpos, d.qvel, d.qacc_warmstart
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(n_steps_ref))(datas)
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega
+
+    def n_steps_mega(d):
+        out = pc.mega_step_n(m, d, plan, n)
+        assert out is not None
+        return out.qpos, out.qvel, out.qacc_warmstart
+
+    mega = jax.jit(jax.vmap(n_steps_mega))(datas)
+
+    for r, g, what in zip(ref, mega, ("qpos", "qvel", "ws")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
+
+
+def test_megastep_euler_muscle_matches_staged(monkeypatch):
+    """Euler + 92-muscle activation dynamics through the megastep loop
+    (act integration + actrange clamp in-kernel)."""
+    env = lmt.make("HumanoidMuscle.walk.real", debug=True,
+                   dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 4)
+    )
+    a = 0.3 * jax.random.uniform(
+        jax.random.PRNGKey(1), (4, env.action_dim), dtype=jnp.float32
+    )
+    step = jax.jit(jax.vmap(env.step))
+    for _ in range(2):
+        st = step(st, a)
+    m = env.model
+    datas = st.data
+    n = 2
+
+    def n_steps_ref(d):
+        for _ in range(n):
+            d = fwd.step(m, d)
+        return d.qpos, d.qvel, d.act
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    ref = jax.jit(jax.vmap(n_steps_ref))(datas)
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    d0 = jax.tree_util.tree_map(lambda l: l[0], datas)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega and plan.mp is not None
+
+    def n_steps_mega(d):
+        out = pc.mega_step_n(m, d, plan, n)
+        assert out is not None
+        return out.qpos, out.qvel, out.act
+
+    mega = jax.jit(jax.vmap(n_steps_mega))(datas)
+
+    for r, g, what in zip(ref, mega, ("qpos", "qvel", "act")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
