@@ -2401,16 +2401,27 @@ def _make_megastep_kernel(plan: RowPlan, iterations, ls_iterations, scale,
         eshape = qpos0.shape[1:]
         f32 = qpos0.dtype
 
+        # act clamp as STATIC python scalars (jnp constants would be
+        # closure captures, which pallas_call rejects). Uniform bounds —
+        # the muscle case, actrange [0, 1] everywhere — collapse to one
+        # whole-array clip.
+        clamp_act = None
         if na and act_bounds is not None:
-            sh = (na,) + (1,) * len(eshape)
-            act_lo = jnp.asarray(
-                np.array([b[0] for b in act_bounds], np.float32).reshape(sh)
-            )
-            act_hi = jnp.asarray(
-                np.array([b[1] for b in act_bounds], np.float32).reshape(sh)
-            )
-        else:
-            act_lo = act_hi = None
+            uniq = set(act_bounds)
+            if len(uniq) == 1:
+                lo0, hi0 = act_bounds[0]
+                if np.isfinite(lo0) or np.isfinite(hi0):
+                    def clamp_act(a):
+                        return jnp.clip(a, lo0, hi0)
+            else:
+                def clamp_act(a):
+                    return jnp.stack([
+                        jnp.clip(a[i], *act_bounds[i])
+                        if (np.isfinite(act_bounds[i][0])
+                            or np.isfinite(act_bounds[i][1]))
+                        else a[i]
+                        for i in range(na)
+                    ])
 
         def scoped(x_s, dv_s, adot_s):
             def w_to(ref):
@@ -2475,8 +2486,8 @@ def _make_megastep_kernel(plan: RowPlan, iterations, ls_iterations, scale,
                     qpos2 = qpos + dt * qvel2
                     if na:
                         act2 = act + dt * adot_s[...]
-                        if act_lo is not None:
-                            act2 = jnp.clip(act2, act_lo, act_hi)
+                        if clamp_act is not None:
+                            act2 = clamp_act(act2)
                     else:
                         act2 = act
                     return (qpos2, qvel2, act2, qacc)

@@ -65,19 +65,31 @@ class DistributedTrainer:
             ),
         )
 
+    def _put(self, value, sharding):
+        # multi-host safe: each process materializes only its addressable
+        # shards from the host-replicated value (every process computes
+        # the same deterministic value); plain device_put single-process
+        if jax.process_count() > 1:
+            from .distributed import host_to_global
+
+            return host_to_global(value, sharding)
+        return jax.device_put(value, sharding)
+
     def init_env_states(self, seed=0):
         key = jax.random.PRNGKey(seed)
         keys = jax.random.split(key, self.agent.cfg.n_envs)
         reset_fn = jax.jit(
             jax.vmap(self.agent.env.reset), out_shardings=self._env_shard
         )
-        return reset_fn(jax.device_put(keys, self._env_shard))
+        return reset_fn(self._put(keys, self._env_shard))
 
     def train(self, n_iterations, seed=0, log_every=10, callback=None):
         agent = self.agent
-        agent.state = jax.device_put(agent.state, self._ts_shard)
+        agent.state = jax.tree.map(
+            lambda v, s: self._put(v, s), agent.state, self._ts_shard
+        )
         env_states = self.init_env_states(seed)
-        rng = jax.device_put(
+        rng = self._put(
             jax.random.PRNGKey(seed + 1), replicated(self.mesh)
         )
         history = []

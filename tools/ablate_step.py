@@ -55,6 +55,26 @@ def stub_collide(colp, fk, tbl_refs, zero, eshape):
     return [(zero, zero, zero)] * n, [far] * n, gids[:n]
 
 
+orig_gather = pfk._gather_dot
+
+
+def stub_manifold_gather(tbl, oh):
+    """Kill only the big (3+4D, V) manifold/meta gathers; keep the (V, 3)
+    height maps real."""
+    if tbl.shape[1] == 3:
+        return orig_gather(tbl, oh)
+    return jnp.zeros((tbl.shape[0],) + oh.shape[1:], jnp.float32)
+
+
+def fast_gather(tbl, oh):
+    """All gathers at default (bf16) matmul precision — measures the cost
+    of the 6-pass f32 'highest' emulation the kernel inherits."""
+    import jax as _jax
+
+    with _jax.default_matmul_precision("default"):
+        return orig_gather(tbl, oh)
+
+
 VARIANTS = {
     "full": {},
     "fastoff": {"env": {"LMT_FAST_BRANCH": "0"}},
@@ -62,6 +82,10 @@ VARIANTS = {
     "nosolve": {"solve": True},
     "nocoll-nosolve": {"coll": True, "solve": True},
     "scan": {"env": {"LMT_MEGASTEP": "0"}},
+    "nomanifold": {"gather": stub_manifold_gather},
+    "bf16gather": {"gather": fast_gather},
+    "iters2": {"iters": 2},
+    "ls2": {"ls": 2},
 }
 
 names = sys.argv[1:] or list(VARIANTS)
@@ -83,6 +107,19 @@ for name in names:
     pfk.collide_env_block = (
         stub_collide if pat.get("coll") else orig_collide
     )
+    pfk._gather_dot = pat.get("gather") or orig_gather
+    if pat.get("iters"):
+        env.model = env.model.replace(
+            opt=env.model.opt.replace(iterations=pat["iters"])
+        )
+    elif pat.get("ls"):
+        env.model = env.model.replace(
+            opt=env.model.opt.replace(ls_iterations=pat["ls"])
+        )
+    else:
+        env.model = env.model.replace(
+            opt=env.model.opt.replace(iterations=8, ls_iterations=8)
+        )
     pc._MEGA_CACHE.clear()
     pc._MEGASTEP_CACHE.clear()
     pc._FUSED_CACHE.clear()
@@ -111,3 +148,4 @@ for name in names:
 
 pn.solve_core = orig_solve_core
 pfk.collide_env_block = orig_collide
+pfk._gather_dot = orig_gather
