@@ -39,7 +39,7 @@ def main():
         f"devices {jax.devices()}")
 
     copts = tpu_compiler_options()
-    step_fn = jax.jit(jax.vmap(env.step), compiler_options=copts)
+    step_fn = jax.jit(env.step_batch, compiler_options=copts)
 
     t0 = time.time()
     states = jax.jit(jax.vmap(env.reset), compiler_options=copts)(

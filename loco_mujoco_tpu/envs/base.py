@@ -484,8 +484,36 @@ class LocoEnv:
         keys = jax.random.split(rng, n_envs)
         return jax.vmap(self.reset)(keys)
 
-    def step_batch(self, states, actions):
-        return jax.vmap(self.step)(states, actions)
+    def _sort_key_batch(self, states) -> jax.Array:
+        """Per-env scalar whose ascending order clusters envs by physics
+        regime. obs[0] is the ROOT HEIGHT for every robot in the suite
+        (the observation drops the two horizontal root coordinates;
+        the next spec entry is the vertical one — humanoids' pelvis_ty,
+        A1's trunk_tz), so sorting ascending groups fallen/falling envs
+        together."""
+        return states.obs[:, 0]
+
+    def step_batch(self, states, actions, sort_for_locality=False):
+        """Batched step. With `sort_for_locality`, envs are permuted by
+        root height before the vmapped step and un-permuted after —
+        caller-invisible (each env's result is identical up to the f32
+        summation-order noise of kernel branch selection). The intent is
+        to cluster contact-heavy envs into few (S, 128) kernel blocks so
+        the rest take the fast solve branch / closed collision gates.
+        Measured on the flagship bench regime (4096 envs, ~10% resets/
+        step) it does NOT pay: 26.2 ms sorted vs 23.3 unsorted — the
+        near-ground population is too large a fraction for 4 blocks, and
+        the full-EnvState permute costs more than the branch savings.
+        Kept as an opt-in for workloads with rarer falls (trained
+        policies); default off. Under multi-chip dp sharding the argsort
+        would gather globally — keep it off there."""
+        if not sort_for_locality:
+            return jax.vmap(self.step)(states, actions)
+        perm = jnp.argsort(self._sort_key_batch(states))
+        inv = jnp.argsort(perm)
+        sts = jax.tree_util.tree_map(lambda l: l[perm], states)
+        out = jax.vmap(self.step)(sts, actions[perm])
+        return jax.tree_util.tree_map(lambda l: l[inv], out)
 
     # ------------------------------------------------------------------
     # dataset / replay API (reference base.py:257-312, 314-476)

@@ -276,7 +276,12 @@ def _rk4(model: Model, data: Data) -> Data:
     qpos0, qvel0, act0 = d0.qpos, d0.qvel, d0.act
     derivs = [(d0.qvel, d0.qacc, d0.act_dot)]
 
-    d = d0
+    # mj_step copies qacc -> qacc_warmstart right after the FIRST forward,
+    # so mj_RungeKutta's stage-2..4 forwards warm-start from the fresh
+    # stage-1 acceleration (not the previous step's). Matching that is
+    # both closer parity and faster convergence (the warm-started Newton
+    # terminates earlier inside the stage solves).
+    d = d0.replace(qacc_warmstart=d0.qacc)
     for i in range(3):
         dq = derivs[i]
         d = d.replace(

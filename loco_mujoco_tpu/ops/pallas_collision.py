@@ -138,11 +138,23 @@ def _make_kernel(D):
                     oh0 = (iota == i0).astype(f32)  # (V, BE)
 
                     # one MXU matmul gathers v0 coords, neighbor ids and
-                    # neighbor coords for the support vertex of every env
-                    q = jax.lax.dot_general(
-                        tbl, oh0, (((1,), (0,)), ((), ())),
-                        preferred_element_type=f32,
-                    )  # (3+4D, BE)
+                    # neighbor coords for the support vertex of every env.
+                    # 2-piece bf16 split: one-hot selection reconstructs
+                    # v_hi + v_lo — exact for the int id rows (< 2^16),
+                    # ~1e-5-relative for coords — at 1/3 the cost of the
+                    # 6-pass HIGHEST f32 emulation this scope defaults to
+                    # (see pallas_fk._gather_dot).
+                    ohb = oh0.astype(jnp.bfloat16)
+                    t_hi = tbl.astype(jnp.bfloat16)
+                    t_lo = (tbl - t_hi.astype(f32)).astype(jnp.bfloat16)
+                    with jax.default_matmul_precision("default"):
+                        q = sum(
+                            jax.lax.dot_general(
+                                t, ohb, (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                            )
+                            for t in (t_hi, t_lo)
+                        )  # (3+4D, BE)
                     v0x, v0y, v0z = q[0][None], q[1][None], q[2][None]
                     ids = q[3 : 3 + D]           # (D, BE)
                     cx = q[3 + D : 3 + 2 * D]

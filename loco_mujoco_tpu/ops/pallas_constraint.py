@@ -2452,23 +2452,28 @@ def _make_megastep_kernel(plan: RowPlan, iterations, ls_iterations, scale,
                     qpos, qvel, ws = c
 
                     def stage(i, sc):
-                        qs, vs, aq, av, ws1 = sc
-                        fwd_once(qs, vs, None, ws)
+                        # ws_run: stage 1 uses the carried warmstart; the
+                        # stage-1 qacc then becomes the warmstart for
+                        # stages 2-4 AND the next substep (mj_step copies
+                        # qacc -> qacc_warmstart right after the first
+                        # forward, before mj_RungeKutta's stage loop)
+                        qs, vs, aq, av, ws_run = sc
+                        fwd_once(qs, vs, None, ws_run)
                         qacc = x_s[...]
                         bi = jnp.where(
                             (i == 0) | (i == 3), 1.0 / 6.0, 1.0 / 3.0
                         ).astype(f32)
                         aq = aq + bi * vs
                         av = av + bi * qacc
-                        ws1 = jnp.where(i == 0, qacc, ws1)
+                        ws_run = jnp.where(i == 0, qacc, ws_run)
                         ai = jnp.where(i == 2, 1.0, 0.5).astype(f32)
                         qs = qpos + (dt * ai) * vs
                         vs = qvel + (dt * ai) * qacc
-                        return (qs, vs, aq, av, ws1)
+                        return (qs, vs, aq, av, ws_run)
 
                     zer = jnp.zeros_like(qvel)
                     _qs, _vs, aq, av, ws1 = jax.lax.fori_loop(
-                        0, 4, stage, (qpos, qvel, zer, zer, zer)
+                        0, 4, stage, (qpos, qvel, zer, zer, ws)
                     )
                     return (qpos + dt * aq, qvel + dt * av, ws1)
 

@@ -296,26 +296,82 @@ def sub3(a, b):
 
 
 
+def _dot3_split(tbl, A):
+    """(V, 3) static vertex block x (3, *E) traced normal -> (V, *E)
+    height map as THREE default-precision bf16 dots (manual bf16_3x:
+    hi*hi + hi*lo + lo*hi): ~1e-5-relative accurate — inside the kernel's
+    f32 parity envelope — at half the 6-pass HIGHEST f32 emulation this
+    scope otherwise pins."""
+    f32 = jnp.float32
+    th = tbl.astype(jnp.bfloat16)
+    tl = (tbl - th.astype(f32)).astype(jnp.bfloat16)
+
+    def dot2d(a, b):
+        with jax.default_matmul_precision("default"):
+            return jax.lax.dot_general(
+                a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32,
+            )
+
+    def one(Ae):
+        ah = Ae.astype(jnp.bfloat16)
+        al = (Ae - ah.astype(f32)).astype(jnp.bfloat16)
+        return dot2d(th, ah) + dot2d(th, al) + dot2d(tl, ah)
+
+    if A.ndim == 2:
+        return one(A)
+    S = A.shape[1]
+    return jnp.stack([one(A[:, si]) for si in range(S)], axis=1)
+
+
 def _gather_dot(tbl, oh):
     """(R, V) static table x (V, *E) one-hot -> (R, *E) on the MXU.
     Grouped (S, 128) env blocks run one 2D dot per sublane slice (Mosaic
-    dots are 2D-only); lanes blocks are a single dot."""
+    dots are 2D-only); lanes blocks are a single dot.
+
+    Precision: these dots inherit the physics scope's HIGHEST matmul
+    precision (6-pass f32 emulation), which costs ~6 ms/step of the
+    flagship bench. For the LARGE one-hot gathers (contraction over the
+    V axis) HIGH (2-piece bf16, 3 passes) is enough: with the one-hot
+    side exact in bf16 (0/1), each product reconstructs v_hi + v_lo —
+    EXACT for the integer id rows (< 2^16) and ~1e-5-relative for the
+    coordinate rows, far inside the kernel's f32 parity envelope
+    (tests/test_mega.py asserts 5e-4 rel / 1e-5 dist). The small K=3
+    height-map dots keep the scope's precision (depth accuracy matters
+    and they are cheap)."""
     f32 = jnp.float32
-    if oh.ndim == 2:
-        return jax.lax.dot_general(
-            tbl, oh, (((1,), (0,)), ((), ())), preferred_element_type=f32,
-        )
-    S = oh.shape[1]
-    return jnp.stack(
-        [
-            jax.lax.dot_general(
-                tbl, oh[:, si], (((1,), (0,)), ((), ())),
+    big = tbl.shape[1] > 8  # contraction over V: the expensive gathers
+
+    if big:
+        # explicit 2-piece split (Mosaic dot_general supports only
+        # DEFAULT/HIGHEST precisions; HIGH raises)
+        hi = tbl.astype(jnp.bfloat16)
+        lo = (tbl - hi.astype(f32)).astype(jnp.bfloat16)
+
+        def dot2d(o):
+            ob = o.astype(jnp.bfloat16)
+
+            def d(a):
+                # DEFAULT precision scope: the surrounding physics trace
+                # pins HIGHEST (contract_precision=fp32), which Mosaic
+                # rejects for bf16 operands ("Bad lhs type")
+                with jax.default_matmul_precision("default"):
+                    return jax.lax.dot_general(
+                        a, ob, (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+
+            return d(hi) + d(lo)
+    else:
+        def dot2d(o):
+            return jax.lax.dot_general(
+                tbl, o, (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
             )
-            for si in range(S)
-        ],
-        axis=1,
-    )
+
+    if oh.ndim == 2:
+        return dot2d(oh)
+    S = oh.shape[1]
+    return jnp.stack([dot2d(oh[:, si]) for si in range(S)], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -761,7 +817,7 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                         a2 = a_rows[p][2][None]
                         bb = b_rows[p][None]
                         A = jnp.concatenate([a0, a1, a2], axis=0)
-                        h = _gather_dot(tblT, A) + bb  # (V, *E)
+                        h = _dot3_split(tblT, A) + bb  # (V, *E)
                         d0 = jnp.min(h, axis=0, keepdims=True)
                         d0_ref[p, 0] = d0[0]
 
