@@ -399,6 +399,29 @@ class RowPlan:
                 self.mega = False
                 self.smooth_mu = False
                 self.mp = None
+
+        # --- mega-ell: FK + ALL-analytic-group collision in kernel -------
+        # The elliptic (A1-class) variant: groups need not be plane-only
+        # or statics-uniform across groups — per-GROUP uniform pair params
+        # suffice (ColPlanExt validates). The kernel builds the generic
+        # contact pack in VMEM and the untouched generic row build
+        # consumes it, eliminating the staged XLA collision driver + the
+        # (E, ncon, 29) pack relayout (~75 of A1's 219 ms/step at 4096).
+        self.mega_ell = False
+        if (not self.mega) and self.elliptic and self.ncon and self.smooth:
+            try:
+                from . import pallas_fk as pfk
+
+                self.fkp = pfk.FkPlan(model, _conc)
+                self.colp = pfk.ColPlanExt(model, _conc)
+                if self.colp.ncon != self.ncon:
+                    raise ValueError("slot count mismatch")
+                self.mega = True
+                self.mega_ell = True
+                self.mp = None
+                self.mega_fast = None  # branch spec: ell_fast on cp rows
+            except Exception:
+                self.mega_ell = False
         self.ok = True
 
     def _build_ell_fast(self, model: Model):
@@ -1136,7 +1159,20 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
 
     if mega:
         fkres = pfk.fk_env_block(plan.fkp, lambda q: qpos[q])
-        if ncon:
+        if ncon and getattr(plan, "mega_ell", False):
+            # extended analytic collision -> generic contact pack, in VMEM
+            pack, gid1_rows, gid2_rows = pfk.collide_env_block_ext(
+                plan.colp, fkres, zero_env, qpos.shape[1:]
+            )
+
+            def cp_read(pack=pack):
+                return pack
+
+            if "cdist" in W:
+                _w("cdist", pack[:, 12])
+                _w("cgid", jnp.stack(gid2_rows))
+                _w("cgid1", jnp.stack(gid1_rows))
+        elif ncon:
             ik_contacts = pfk.collide_env_block(
                 plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
             )
@@ -1326,9 +1362,9 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
     ncon_full = ncon
     J_top, aref_top = J_parts, aref_parts
     R_top, act_top = R_parts, act_parts
-    if mega and ncon and "cdist" in W:
+    if mega and ncon and "cdist" in W and ik_contacts is not None:
         # collision meta (GRF readout) covers ALL slots — written
-        # before the solve branches
+        # before the solve branches (the ell path wrote it from the pack)
         _w("cdist", jnp.stack(ik_contacts[1]))
         _w("cgid", jnp.stack(ik_contacts[2]))
 
@@ -1670,7 +1706,7 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         )
 
         _w("x", x)
-        if not mega:
+        if "force" in W:
             if sub is None:
                 _w("force", force)
             else:
@@ -1765,7 +1801,7 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         @pl.when(jnp.logical_not(cond))
         def _fast_branch():
             _rows_solve_write(plan.mega_fast)
-    elif (not mega and ncon and plan.elliptic
+    elif (ncon and plan.elliptic
           and getattr(plan, "ell_fast", None) is not None):
         # elliptic (A1): same fast/full specialization; the activity
         # condition reads the packed per-slot fields (generic pack
@@ -1809,7 +1845,13 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # of the (S, 128) env block (the group axis is leading in the HBM
         # arrays so any power-of-two S lowers — see _fused_batched); drop
         # it on read. Lanes layout: blocks are already (K..., BE).
-        if mega:
+        if mega and getattr(plan, "mega_ell", False):
+            vp_ref = refs[0]
+            tbl_refs = mus_refs = ()
+            (x_ref, qfrc_ref, asm_ref, cdist_ref, cgid_ref,
+             cgid1_ref, force_ref, *extra_refs) = refs[1:]
+            cp_ref = cforce_ref = None
+        elif mega:
             from . import pallas_fk as pfk
 
             n_tbl = plan.colp.n_mesh_tables
@@ -1853,7 +1895,11 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
             cp_read = None
             W["cdist"] = mkw(cdist_ref)
             W["cgid"] = mkw(cgid_ref)
-            W["cforce"] = mkw(cforce_ref)
+            if getattr(plan, "mega_ell", False):
+                W["cgid1"] = mkw(cgid1_ref)
+                W["force"] = mkw(force_ref)
+            else:
+                W["cforce"] = mkw(cforce_ref)
             if plan.euler_dv:
                 W["euler_dv"] = mkw(extra_refs[0])
             if plan.mp is not None:
@@ -2213,7 +2259,11 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
             (k, G, S, 128) if grouped else (k, Ep), f32
         )
 
-    ks = [nv, nv, nv, ncon, ncon, ncon * _MEGA_MAXD]
+    if getattr(plan, "mega_ell", False):
+        # x qfrc asm cdist cgid2 cgid1 force(nrows)
+        ks = [nv, nv, nv, ncon, ncon, ncon, plan.nrows]
+    else:
+        ks = [nv, nv, nv, ncon, ncon, ncon * _MEGA_MAXD]
     if plan.euler_dv:
         ks.append(nv)
     if plan.mp is not None:
@@ -2253,7 +2303,8 @@ def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
     if hit is not None:
         return hit
 
-    n_out = 6 + int(plan.euler_dv) + int(plan.mp is not None)
+    n_out = (7 if getattr(plan, "mega_ell", False) else 6) \
+        + int(plan.euler_dv) + int(plan.mp is not None)
 
     def solve_b(vec):
         return _mega_batched(plan, iterations, ls_iterations, scale,
@@ -2294,6 +2345,8 @@ def mega_forward(model: Model, data, plan: RowPlan):
         data.xfrc_applied.reshape(-1), data.qacc_warmstart,
     ]).astype(dtype)
     outs = solver_fn(vec)
+    if getattr(plan, "mega_ell", False):
+        return _mega_ell_finish(model, data, plan, outs, dtype)
     x, qfrc, asm, cdist, cgid, cforce = outs[:6]
     nxt = 6
     euler_dv = None
@@ -2333,6 +2386,56 @@ def mega_forward(model: Model, data, plan: RowPlan):
     if act_dot is not None:
         out = out.replace(act_dot=act_dot)
     return out
+
+
+def _mega_ell_finish(model: Model, data, plan: RowPlan, outs, dtype):
+    """mega_forward tail for the extended elliptic path: per-slot contact
+    meta from the in-kernel pack (geom1 traced — self-collision pairs),
+    per-slot static includemargin/friction from the group statics, and
+    efc_force_contact extracted from the full force rows (same rowidx
+    gather as fused_constraint)."""
+    x, qfrc, asm, cdist, cgid2, cgid1, force = outs[:7]
+    euler_dv = outs[7].astype(dtype) if plan.euler_dv else None
+
+    ncon = plan.ncon
+    incl = np.zeros(ncon)
+    fric = np.zeros((ncon, 5))
+    i = 0
+    for g in plan.colp.groups:
+        nsl = g["k"] * g["slots"]
+        incl[i:i + nsl] = g["incl"]
+        fric[i:i + nsl] = g["fric5"]
+        i += nsl
+    con = data.contact
+    contact = con.replace(
+        dist=cdist.astype(dtype),
+        geom1=cgid1.astype(con.geom1.dtype),
+        geom2=cgid2.astype(con.geom2.dtype),
+        includemargin=jnp.asarray(incl, dtype),
+        friction=jnp.asarray(fric, dtype),
+    )
+
+    efc_force_contact = data.efc_force_contact
+    if efc_force_contact.shape[-1]:
+        maxd = int(efc_force_contact.shape[-1])
+        rowidx = np.zeros((ncon, maxd), dtype=np.int32)
+        rowmsk = np.zeros((ncon, maxd), dtype=bool)
+        for c in range(ncon):
+            nrow = min(plan.rows_per[c], maxd)
+            rowidx[c, :nrow] = plan.con_efcadr[c] + np.arange(nrow)
+            rowmsk[c, :nrow] = True
+        efc_force_contact = jnp.where(
+            jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
+        ).astype(dtype)
+
+    return data.replace(
+        qacc=x.astype(dtype),
+        qacc_smooth=asm.astype(dtype),
+        qfrc_constraint=qfrc.astype(dtype),
+        efc_force_contact=efc_force_contact,
+        euler_dv=euler_dv,
+        contact=contact,
+    )
 
 
 # ---------------------------------------------------------------------------

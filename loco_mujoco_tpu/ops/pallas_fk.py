@@ -773,7 +773,7 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
             qp_list.append(qp)
             R2_list.append(Rb)
 
-        def scoped(d0_ref, vsel_ref, slot_ref, subs=subs, my_tbls=my_tbls,
+        def scoped(d0_ref, wpos_ref, slot_ref, subs=subs, my_tbls=my_tbls,
                    a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
                    R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
                    g=g):
@@ -806,8 +806,14 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                     d0_ref[p, 0] = lb
                     d0_ref[p, 1] = zero + _BIG
                     d0_ref[p, 2] = zero + _BIG
+                    # wpos holds WORLD slot positions (pretransformed here
+                    # so the rank loop gathers 13 rows instead of 25 and
+                    # skips the per-rank qp/R2 transform); far pairs carry
+                    # the geom origin as a harmless inactive default
                     for i3 in range(9):
-                        vsel_ref[p, i3] = zero + tbl[i3 % 3, 0]
+                        wpos_ref[p, i3] = materialize(
+                            qp_list[p][i3 % 3], zero
+                        )
 
                     @pl.when(jnp.min(lb) < margin)
                     def _near(p=p, tbl=tbl, tblT=tblT, iota=iota,
@@ -873,27 +879,32 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                                 cnt = cnt + qd
                             d0_ref[p, 1] = d1[0]
                             d0_ref[p, 2] = d2[0]
-                            vsel_ref[p, 0] = q[0]
-                            vsel_ref[p, 1] = q[1]
-                            vsel_ref[p, 2] = q[2]
-                            for k3 in range(3):
-                                vsel_ref[p, 3 + k3] = v1[k3][0]
-                                vsel_ref[p, 6 + k3] = v2[k3][0]
+                            # world slot positions: w = qp + R2 v - n d/2
+                            qp, R2 = qp_list[p], R2_list[p]
+                            for f, (vv, dd) in enumerate((
+                                ((q[0][None], q[1][None], q[2][None]), d0),
+                                (v1, d1), (v2, d2),
+                            )):
+                                d2h = 0.5 * dd[0]
+                                for i3 in range(3):
+                                    w = add(
+                                        qp[i3],
+                                        mul(R2[i3][0], vv[0][0]),
+                                        mul(R2[i3][1], vv[1][0]),
+                                        mul(R2[i3][2], vv[2][0]),
+                                    )
+                                    wpos_ref[p, 3 * f + i3] = (
+                                        materialize(w, zero) - n[i3] * d2h
+                                    )
 
                 pi += len(ids)
 
             # ---- top-k pair selection + slot build ----
             d_all = d0_ref[...]       # (P, 3, BE)
-            vsel_all = vsel_ref[...]  # (P, 9, BE)
-            pair_tab = jnp.stack([
-                jnp.stack(
-                    [materialize(qp_list[p][i], zero) for i in range(3)]
-                    + [materialize(R2_list[p][i][j], zero)
-                       for i in range(3) for j in range(3)]
-                    + [zero + float(mesh_pairs[p]["gid"])]
-                )
-                for p in range(P)
-            ])  # (P, 13, BE)
+            wpos_all = wpos_ref[...]  # (P, 9, BE) world slot positions
+            gid_tab = jnp.stack([
+                zero + float(mesh_pairs[p]["gid"]) for p in range(P)
+            ])  # (P, BE)
             key = d_all[:, 0] - g["margin"]
             iota_p = jax.lax.broadcasted_iota(
                 jnp.int32, (P,) + (1,) * len(eshape), 0
@@ -926,28 +937,15 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
                 def _build(s=s, oh=oh):
                     ohe = oh[:, None]
                     dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
-                    vs = jnp.sum(ohe * vsel_all, axis=0)     # (9, BE)
-                    meta = jnp.sum(ohe * pair_tab, axis=0)   # (13, BE)
-                    qp = meta[0:3]
-                    R2 = meta[3:12]
+                    wsel = jnp.sum(ohe * wpos_all, axis=0)   # (9, BE)
                     for f in range(3):
                         slot_ref[s, f] = dsel[f]
-                        d2 = 0.5 * dsel[f]
                         for i3 in range(3):
-                            w = (
-                                qp[i3]
-                                + R2[3 * i3 + 0] * vs[3 * f + 0]
-                                + R2[3 * i3 + 1] * vs[3 * f + 1]
-                                + R2[3 * i3 + 2] * vs[3 * f + 2]
-                            )
-                            slot_ref[s, 3 + 3 * f + i3] = (
-                                w - n[i3] * d2
-                            )
-                    slot_ref[s, 12] = meta[12]
+                            slot_ref[s, 3 + 3 * f + i3] = wsel[3 * f + i3]
+                    slot_ref[s, 12] = jnp.sum(oh * gid_tab, axis=0)
 
             return slot_ref[...]
 
-        from jax.experimental.pallas import tpu as pltpu
 
         slot = pl.run_scoped(
             scoped,
@@ -1318,3 +1316,612 @@ def muscle_env_block(mp: MusclePlan, fk: FkResult, com_l, cdof_tab,
         qfrc = t if qfrc is None else qfrc + t
 
     return qfrc, act_dot
+
+
+# ---------------------------------------------------------------------------
+# extended collision plan: ALL analytic group types, in-kernel, emitting the
+# generic contact pack — the elliptic (A1-class) mega path
+# ---------------------------------------------------------------------------
+def _norm3(v, zero, eps=1e-15):
+    """Normalize a static-or-traced 3-tuple; returns (unit tuple, length)."""
+    ln2 = add(mul(v[0], v[0]), mul(v[1], v[1]), mul(v[2], v[2]))
+    ln = jnp.sqrt(jnp.maximum(materialize(ln2, zero), 1e-30))
+    inv = 1.0 / jnp.maximum(ln, eps)
+    return tuple(materialize(v[i], zero) * inv for i in range(3)), ln
+
+
+def _make_frame_rows(n, zero):
+    """mju_makeFrame (collision.make_frame): t1 from the y axis when
+    |n_y| < 0.5 else from z, normalized; t2 = n x t1. n: traced-or-static
+    unit 3-tuple. Returns 9 rows [n(3), t1(3), t2(3)]."""
+    n = tuple(materialize(n[i], zero) for i in range(3))
+    use_y = jnp.abs(n[1]) < 0.5
+    # t1 = ref - n (n.ref) for ref in {y, z}
+    ty = (-n[0] * n[1], 1.0 - n[1] * n[1], -n[2] * n[1])
+    tz = (-n[0] * n[2], -n[1] * n[2], 1.0 - n[2] * n[2])
+    t1 = tuple(jnp.where(use_y, ty[i], tz[i]) for i in range(3))
+    t1, _ = _norm3(t1, zero)
+    t2 = cross3(n, t1)
+    return [n[0], n[1], n[2], t1[0], t1[1], t1[2],
+            materialize(t2[0], zero), materialize(t2[1], zero),
+            materialize(t2[2], zero)]
+
+
+def _frame_axis_rows(n, axis, zero):
+    """collision._frame_with_axis: first tangent = axis projected into the
+    contact plane (mjc_PlaneCapsule convention), falling back to
+    make_frame when axis || n."""
+    n = tuple(materialize(n[i], zero) for i in range(3))
+    na = materialize(dot3(n, axis), zero)
+    t1r = tuple(materialize(sub(axis[i], mul(1.0, n[i] * na)), zero)
+                for i in range(3))
+    ln2 = t1r[0] ** 2 + t1r[1] ** 2 + t1r[2] ** 2
+    ln = jnp.sqrt(jnp.maximum(ln2, 1e-30))
+    ok = ln > 1e-8
+    t1 = tuple(jnp.where(ok, t1r[i] / jnp.maximum(ln, 1e-15), 0.0)
+               for i in range(3))
+    t2 = tuple(materialize(x, zero) for x in cross3(n, t1))
+    fb = _make_frame_rows(n, zero)
+    rows = [n[0], n[1], n[2]]
+    for i in range(3):
+        rows.append(jnp.where(ok, t1[i], fb[3 + i]))
+    for i in range(3):
+        rows.append(jnp.where(ok, t2[i], fb[6 + i]))
+    return rows
+
+
+def _sphere_sphere_slot(c1, r1, c2, r2, zero):
+    """collision._sphere_sphere_core on scalars. Returns (pos, dist,
+    frame_rows)."""
+    d = sub3(tuple(materialize(x, zero) for x in c2),
+             tuple(materialize(x, zero) for x in c1))
+    n, ln = _norm3(d, zero)
+    dist = ln - materialize(add(r1, r2), zero)
+    pos = tuple(
+        0.5 * (materialize(c1[i], zero) + n[i] * materialize(r1, zero)
+               + materialize(c2[i], zero) - n[i] * materialize(r2, zero))
+        for i in range(3)
+    )
+    return pos, dist, _make_frame_rows(n, zero)
+
+
+def _sphere_capsule_slot(c1, r1, qp, axis, hl, r2, zero):
+    """collision.sphere_capsule: clamp the sphere center onto the capsule
+    segment, then sphere-sphere against that point."""
+    t = materialize(dot3(sub3(c1, qp), axis), zero)
+    hlv = materialize(hl if not is_static(hl) else hl + 0.0, zero)
+    t = jnp.clip(t, -hlv, hlv)
+    c2 = tuple(
+        materialize(qp[i], zero) + materialize(axis[i], zero) * t
+        for i in range(3)
+    )
+    return _sphere_sphere_slot(c1, r1, c2, r2, zero)
+
+
+def _sphere_box_slot(pp, r, qp, Rb, size, zero):
+    """collision.sphere_box on scalars: sphere (pp, r) vs box (qp, Rb,
+    size). r/size may be static floats or traced rows (top-k gathered)."""
+    def mt(x):
+        return materialize(x, zero)
+
+    rel = sub3(pp, qp)
+    loc = tuple(
+        mt(add(mul(Rb[0][i], rel[0]), mul(Rb[1][i], rel[1]),
+               mul(Rb[2][i], rel[2])))
+        for i in range(3)
+    )
+    sv = tuple(size[i] if is_static(size[i]) else mt(size[i])
+               for i in range(3))
+    clamped = tuple(jnp.clip(loc[i], -sv[i], sv[i]) for i in range(3))
+    inside = (
+        (jnp.abs(loc[0]) < sv[0]) & (jnp.abs(loc[1]) < sv[1])
+        & (jnp.abs(loc[2]) < sv[2])
+    )
+    gap = tuple(mt(sub(sv[i], jnp.abs(loc[i]))) for i in range(3))
+    m = jnp.minimum(jnp.minimum(gap[0], gap[1]), gap[2])
+    is0 = gap[0] == m
+    is1 = (gap[1] == m) & (~is0)
+    sel = (is0, is1, ~(is0 | is1))
+    closest = tuple(
+        jnp.where(
+            inside,
+            jnp.where(sel[i], jnp.sign(loc[i]) * sv[i], loc[i]),
+            clamped[i],
+        )
+        for i in range(3)
+    )
+    cw = tuple(
+        mt(qp[i])
+        + mt(add(mul(Rb[i][0], closest[0]), mul(Rb[i][1], closest[1]),
+                 mul(Rb[i][2], closest[2])))
+        for i in range(3)
+    )
+    d = tuple(cw[i] - mt(pp[i]) for i in range(3))
+    n_out, ln = _norm3(d, zero)
+    n = tuple(jnp.where(inside, -n_out[i], n_out[i]) for i in range(3))
+    rr = r if is_static(r) else mt(r)
+    dist = jnp.where(inside, -(ln + rr), ln - rr)
+    pos = tuple(0.5 * (mt(pp[i]) + n[i] * rr + cw[i]) for i in range(3))
+    return pos, dist, _make_frame_rows(n, zero)
+
+
+def _seg_seg_closest_sc(p1, d1, l1, p2, d2, l2, zero):
+    """collision._seg_seg_closest on scalars (centered params in ±l)."""
+    r = sub3(tuple(materialize(x, zero) for x in p1),
+             tuple(materialize(x, zero) for x in p2))
+    a = materialize(dot3(d1, d1), zero)
+    e = materialize(dot3(d2, d2), zero)
+    f = materialize(dot3(d2, r), zero)
+    c = materialize(dot3(d1, r), zero)
+    b = materialize(dot3(d1, d2), zero)
+    denom = a * e - b * b
+    l1v = materialize(l1 * 1.0 if not is_static(l1) else l1, zero)
+    l2v = materialize(l2 * 1.0 if not is_static(l2) else l2, zero)
+    s = jnp.where(
+        jnp.abs(denom) > 1e-12,
+        (b * f - c * e) / jnp.maximum(denom, 1e-15), 0.0,
+    )
+    s = jnp.clip(s, -l1v, l1v)
+    t = (b * s + f) / jnp.maximum(e, 1e-15)
+    t_cl = jnp.clip(t, -l2v, l2v)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-15), -l1v, l1v)
+    c1 = tuple(materialize(p1[i], zero) + s * materialize(d1[i], zero)
+               for i in range(3))
+    c2 = tuple(materialize(p2[i], zero) + t_cl * materialize(d2[i], zero)
+               for i in range(3))
+    return c1, c2
+
+
+class ColPlanExt:
+    """Static tables for in-kernel collision over ALL the analytic group
+    types (plane-sphere/capsule/cylinder/box + sphere-sphere/capsule/box +
+    capsule-capsule), with per-group UNIFORM pair parameters — the
+    elliptic (A1-class) mega path. `collide_env_block_ext` consumes this
+    and emits the generic contact pack (the same (ncon, 29) layout
+    `fused_constraint` builds on the XLA side), so the constraint row
+    build is unchanged; only the HBM round-trip and env-major relayout of
+    the staged driver disappear (~75 ms of the 219 ms A1 step at 4096
+    envs was XLA collision + pack fusions).
+
+    Slot order, midphase keys and tie-breaks replicate
+    ops/collision.collision exactly (groups in contact_groups order;
+    plane groups ranked by exact support distance, self groups by
+    center-distance minus static bounding radii, both minus pair margin;
+    lax.top_k's first-index tie-break)."""
+
+    _SUP = {
+        ("plane", "sphere"), ("plane", "capsule"), ("plane", "cylinder"),
+        ("plane", "box"), ("sphere", "sphere"), ("sphere", "capsule"),
+        ("sphere", "box"), ("capsule", "capsule"),
+    }
+
+    def __init__(self, model, conc):
+        from ..core.types import GeomType
+        from .collision import contact_groups
+
+        _T = {
+            int(GeomType.PLANE): "plane", int(GeomType.SPHERE): "sphere",
+            int(GeomType.CAPSULE): "capsule",
+            int(GeomType.CYLINDER): "cylinder", int(GeomType.BOX): "box",
+            int(GeomType.MESH): "mesh",
+        }
+        groups, total, _ = contact_groups(model)
+        need = [
+            model.geom_pos, model.geom_quat, model.geom_size,
+            model.pair_margin, model.pair_gap, model.pair_solref,
+            model.pair_solimp, model.pair_friction, model.body_invweight0,
+        ]
+        vals = [conc(x) for x in need]
+        if any(v is None for v in vals):
+            raise ValueError("traced collision leaf")
+        (gpos, gquat, gsize, pmarg, pgap, psref, psimp, pfric, biw) = [
+            np.asarray(v, np.float64) for v in vals
+        ]
+        gbody = np.asarray(model.geom_bodyid)
+        gtype = np.asarray(model.geom_type)
+
+        # static bounding radii (matches collision._rbound, static leaves)
+        rb = np.zeros(model.ngeom)
+        for gid in range(model.ngeom):
+            t = _T.get(int(gtype[gid]))
+            s = gsize[gid]
+            if t == "sphere":
+                rb[gid] = s[0]
+            elif t == "capsule":
+                rb[gid] = s[0] + s[1]
+            elif t == "cylinder":
+                rb[gid] = float(np.hypot(s[0], s[1]))
+            elif t == "box":
+                rb[gid] = float(np.linalg.norm(s))
+
+        self.groups = []
+        self.ncon = total
+        plane_gid = None
+        for g in groups:
+            t1, t2 = _T.get(int(g.t1)), _T.get(int(g.t2))
+            if (t1, t2) not in self._SUP:
+                raise ValueError(f"unsupported ext group {t1}-{t2}")
+            pid = np.asarray(g.pair_ids)
+            for arr in (psref, psimp, pmarg, pgap, pfric):
+                if not np.all(arr[pid] == arr[pid[0]]):
+                    raise ValueError("non-uniform pair params in group")
+            pg1 = np.asarray(model.pair_geom1)[pid]
+            pg2 = np.asarray(model.pair_geom2)[pid]
+            if t1 == "plane":
+                if plane_gid is None:
+                    plane_gid = int(pg1[0])
+                if not np.all(pg1 == plane_gid):
+                    raise ValueError("multiple planes")
+                if int(gbody[plane_gid]) != 0:
+                    raise ValueError("plane not on world body")
+
+            def side(gid):
+                return dict(
+                    gid=int(gid), body=int(gbody[gid]),
+                    gpos=tuple(float(x) for x in gpos[gid]),
+                    gquat=tuple(float(x) for x in gquat[gid]),
+                    size=tuple(float(x) for x in gsize[gid]),
+                    rb=float(rb[gid]),
+                    iw=float(biw[gbody[gid], 0]),
+                )
+
+            pairs = [
+                dict(g1=side(a), g2=side(b)) for a, b in zip(pg1, pg2)
+            ]
+            p0 = pid[0]
+            self.groups.append(dict(
+                kind=(t1, t2), k=int(g.k), slots=int(g.slots),
+                pairs=pairs, condim=int(g.condim),
+                margin=float(pmarg[p0]),
+                incl=float(pmarg[p0] - pgap[p0]),
+                solref=[float(x) for x in psref[p0]],
+                solimp=[float(x) for x in psimp[p0]],
+                fric5=[float(x) for x in pfric[p0]],
+            ))
+
+        # static world plane frame (when any plane group exists)
+        self.plane_gid = plane_gid
+        if plane_gid is not None:
+            w, xq, yq, zq = (float(v) for v in gquat[plane_gid])
+            qn = (w * w + xq * xq + yq * yq + zq * zq) ** 0.5
+            w, xq, yq, zq = w / qn, xq / qn, yq / qn, zq / qn
+            self.n = (
+                2 * (xq * zq + w * yq),
+                2 * (yq * zq - w * xq),
+                1 - 2 * (xq * xq + yq * yq),
+            )
+            self.pp_n = float(np.dot(
+                np.asarray(self.n), gpos[plane_gid]
+            ))
+        else:
+            self.n = (0.0, 0.0, 1.0)
+            self.pp_n = 0.0
+
+    @property
+    def n_mesh_tables(self):
+        return 0
+
+    def mesh_table_arrays(self):
+        return []
+
+    def pack_width(self):
+        return 29  # pos(3) frame(9) dist incl fric(5) solref(2) solimp(5) iw bid1 bid2
+
+
+def _geom_pose(fk, sd, cache):
+    """World pose of one geom side: (center qp, rotation Rb)."""
+    key = (sd["body"], sd["gpos"], sd["gquat"])
+    if key in cache:
+        return cache[key]
+    b = sd["body"]
+    Rg = quat_to_mat(sd["gquat"])
+    Rb = mat_mul(fk.xmat[b], Rg) if sd["gquat"] != _IDENT_Q else fk.xmat[b]
+    qp = (
+        vadd(fk.xpos[b], mat_vec(fk.xmat[b], sd["gpos"]))
+        if sd["gpos"] != (0.0, 0.0, 0.0) else fk.xpos[b]
+    )
+    cache[key] = (qp, Rb)
+    return qp, Rb
+
+
+def collide_env_block_ext(colp: ColPlanExt, fk, zero, eshape):
+    """In-kernel collision for the extended (elliptic-mega) plan.
+
+    Returns (pack, gid1, gid2): pack a (ncon, 29, *E) array in the
+    generic contact layout, gid1/gid2 per-slot geom-id env rows (for the
+    contact-meta outputs the GRF readout consumes)."""
+    f32 = jnp.float32
+    n = colp.n
+    pp_n = colp.pp_n
+    pose_cache = {}
+    plane_frame = _make_frame_rows(n, zero)
+
+    slot_rows = []   # per slot: list of 29 static-or-traced scalars
+    gid1_rows, gid2_rows = [], []
+
+    def mt(x):
+        return materialize(x, zero)
+
+    def emit(g, pos, dist, frame9, gid1, gid2, iw, bid1, bid2):
+        rows = [pos[0], pos[1], pos[2], *frame9, dist, g["incl"],
+                *g["fric5"], *g["solref"], *g["solimp"], iw, bid1, bid2]
+        slot_rows.append([mt(r) for r in rows])
+        gid1_rows.append(mt(gid1))
+        gid2_rows.append(mt(gid2))
+
+    def emit_dummy(g):
+        """Inactive filler slot (dist BIG)."""
+        emit(g, (0.0, 0.0, 0.0), _BIG, plane_frame, -1.0, -1.0, 0.0,
+             0.0, 0.0)
+
+    for g in colp.groups:
+        t1, t2 = g["kind"]
+        pairs = g["pairs"]
+        P, k = len(pairs), g["k"]
+
+        # ---- per-pair values (direct mode) or gather rows (top-k) ----
+        def pair_vals(pr):
+            """Static-or-traced value dict for one pair."""
+            v = {}
+            if t1 == "plane":
+                qp, Rb = _geom_pose(fk, pr["g2"], pose_cache)
+                v.update(qp=qp, Rb=Rb, size=pr["g2"]["size"])
+                v.update(gid1=float(colp.plane_gid), bid1=0.0,
+                         gid2=float(pr["g2"]["gid"]),
+                         bid2=float(pr["g2"]["body"]),
+                         iw=pr["g2"]["iw"])
+            else:
+                p1, R1 = _geom_pose(fk, pr["g1"], pose_cache)
+                p2, R2 = _geom_pose(fk, pr["g2"], pose_cache)
+                v.update(p1=p1, R1=R1, s1=pr["g1"]["size"],
+                         p2=p2, R2=R2, s2=pr["g2"]["size"])
+                v.update(gid1=float(pr["g1"]["gid"]),
+                         bid1=float(pr["g1"]["body"]),
+                         gid2=float(pr["g2"]["gid"]),
+                         bid2=float(pr["g2"]["body"]),
+                         iw=pr["g1"]["iw"] + pr["g2"]["iw"])
+            return v
+
+        def key_of(pr, v):
+            """Midphase key (collision.py:776-803), minus group margin."""
+            if t1 == "plane":
+                qp, Rb = v["qp"], v["Rb"]
+                sz = v["size"]
+                h = sub(dot3(n, qp), pp_n)
+                if t2 == "sphere":
+                    supp = sz[0]
+                elif t2 == "capsule":
+                    ax = (Rb[0][2], Rb[1][2], Rb[2][2])
+                    ca = jnp.abs(mt(dot3(n, ax)))
+                    supp = add(mul(sz[1], ca), sz[0])
+                elif t2 == "cylinder":
+                    supp = None  # via _support_key
+                    return mt(sub(
+                        _support_key("cyl", n, pp_n, qp, Rb, None, sz,
+                                     zero),
+                        g["margin"],
+                    ))
+                else:  # box
+                    return mt(sub(
+                        _support_key("box", n, pp_n, qp, Rb, None, sz,
+                                     zero),
+                        g["margin"],
+                    ))
+                return mt(sub(sub(h, supp), g["margin"]))
+            d = sub3(v["p2"], v["p1"])
+            ln = jnp.sqrt(jnp.maximum(mt(dot3(d, d)), 1e-30))
+            return ln - (pr["g1"]["rb"] + pr["g2"]["rb"] + g["margin"])
+
+        def slots_of(v):
+            """List of (pos, dist, frame9) slots for one pair's values."""
+            if t1 == "plane":
+                qp, Rb, sz = v["qp"], v["Rb"], v["size"]
+                if t2 == "sphere":
+                    h = mt(sub(dot3(n, qp), pp_n))
+                    dist = h - (sz[0] if is_static(sz[0]) else mt(sz[0]))
+                    depth = (
+                        (sz[0] if is_static(sz[0]) else mt(sz[0]))
+                        + 0.5 * dist
+                    )
+                    pos = tuple(mt(qp[i]) - n[i] * depth for i in range(3))
+                    return [(pos, dist, plane_frame)]
+                if t2 == "capsule":
+                    ax = (Rb[0][2], Rb[1][2], Rb[2][2])
+                    fr = _frame_axis_rows(n, ax, zero)
+                    out = []
+                    for sgn in (1.0, -1.0):
+                        c = vadd(qp, vscale(ax, mul(sgn, sz[1])))
+                        h = mt(sub(dot3(n, c), pp_n))
+                        r0 = sz[0] if is_static(sz[0]) else mt(sz[0])
+                        dist = h - r0
+                        depth = r0 + 0.5 * dist
+                        pos = tuple(mt(c[i]) - n[i] * depth
+                                    for i in range(3))
+                        out.append((pos, dist, fr))
+                    return out
+                if t2 == "cylinder":
+                    col0 = (Rb[0][0], Rb[1][0], Rb[2][0])
+                    ax = (Rb[0][2], Rb[1][2], Rb[2][2])
+                    ps = _cyl_slots(n, pp_n, qp, ax, col0, sz[0], sz[1],
+                                    zero)
+                    return [(p, d, plane_frame) for p, d in ps]
+                # box
+                ps = _box_slots(n, pp_n, qp, Rb, sz, zero, f32)
+                return [(p, d, plane_frame) for p, d in ps]
+            if (t1, t2) == ("sphere", "sphere"):
+                pos, dist, fr = _sphere_sphere_slot(
+                    v["p1"], v["s1"][0], v["p2"], v["s2"][0], zero
+                )
+                return [(pos, dist, fr)]
+            if (t1, t2) == ("sphere", "capsule"):
+                ax2 = (v["R2"][0][2], v["R2"][1][2], v["R2"][2][2])
+                pos, dist, fr = _sphere_capsule_slot(
+                    v["p1"], v["s1"][0], v["p2"], ax2, v["s2"][1],
+                    v["s2"][0], zero
+                )
+                return [(pos, dist, fr)]
+            if (t1, t2) == ("sphere", "box"):
+                pos, dist, fr = _sphere_box_slot(
+                    v["p1"], v["s1"][0], v["p2"], v["R2"], v["s2"], zero
+                )
+                return [(pos, dist, fr)]
+            # capsule-capsule: 2 slots, second inactive (collision.py:647)
+            ax1 = (v["R1"][0][2], v["R1"][1][2], v["R1"][2][2])
+            ax2 = (v["R2"][0][2], v["R2"][1][2], v["R2"][2][2])
+            c1, c2 = _seg_seg_closest_sc(
+                v["p1"], ax1, v["s1"][1], v["p2"], ax2, v["s2"][1], zero
+            )
+            pos, dist, fr = _sphere_sphere_slot(
+                c1, v["s1"][0], c2, v["s2"][0], zero
+            )
+            return [(pos, dist, fr), ((0.0, 0.0, 0.0), _BIG, fr)]
+
+        if k == P:
+            for pr in pairs:
+                v = pair_vals(pr)
+                for pos, dist, fr in slots_of(v):
+                    emit(g, pos, dist, fr, v["gid1"], v["gid2"], v["iw"],
+                         v["bid1"], v["bid2"])
+            continue
+
+        # ---- top-k: gather pair value rows by rank one-hots ----
+        # row schema per kind (traced after selection)
+        if t1 == "plane":
+            schema = (
+                ["qp0", "qp1", "qp2"]
+                + (["ax0", "ax1", "ax2"] if t2 in ("capsule", "cylinder")
+                   else [])
+                + (["R%d%d" % (i, j) for i in range(3) for j in range(3)]
+                   if t2 == "box" else [])
+                + ["sz0", "sz1", "sz2"]
+            )
+        else:
+            schema = ["p10", "p11", "p12", "p20", "p21", "p22",
+                      "s10", "s11", "s20", "s21"]
+            if t2 == "capsule":
+                schema += ["a20", "a21", "a22"]
+            if t1 == "capsule":
+                schema += ["a10", "a11", "a12"]
+            if t2 == "box":
+                schema += ["s22"]
+                schema += ["R%d%d" % (i, j)
+                           for i in range(3) for j in range(3)]
+        schema += ["gid1", "gid2", "iw", "bid1", "bid2"]
+
+        keys, tabs = [], []
+        for pr in pairs:
+            v = pair_vals(pr)
+            keys.append(key_of(pr, v))
+            row = {}
+            if t1 == "plane":
+                row.update(qp0=v["qp"][0], qp1=v["qp"][1], qp2=v["qp"][2],
+                           sz0=v["size"][0], sz1=v["size"][1],
+                           sz2=v["size"][2])
+                if t2 in ("capsule", "cylinder"):
+                    Rb = v["Rb"]
+                    row.update(ax0=Rb[0][2], ax1=Rb[1][2], ax2=Rb[2][2])
+                if t2 == "box":
+                    for i in range(3):
+                        for j in range(3):
+                            row["R%d%d" % (i, j)] = v["Rb"][i][j]
+            else:
+                row.update(p10=v["p1"][0], p11=v["p1"][1], p12=v["p1"][2],
+                           p20=v["p2"][0], p21=v["p2"][1], p22=v["p2"][2],
+                           s10=v["s1"][0], s11=v["s1"][1],
+                           s20=v["s2"][0], s21=v["s2"][1])
+                if t2 == "box":
+                    row["s22"] = v["s2"][2]
+                if t2 == "capsule":
+                    R2 = v["R2"]
+                    row.update(a20=R2[0][2], a21=R2[1][2], a22=R2[2][2])
+                if t1 == "capsule":
+                    R1 = v["R1"]
+                    row.update(a10=R1[0][2], a11=R1[1][2], a12=R1[2][2])
+                if t2 == "box":
+                    for i in range(3):
+                        for j in range(3):
+                            row["R%d%d" % (i, j)] = v["R2"][i][j]
+            row.update(gid1=v["gid1"], gid2=v["gid2"], iw=v["iw"],
+                       bid1=v["bid1"], bid2=v["bid2"])
+            tabs.append(jnp.stack([mt(row[name]) for name in schema]))
+
+        key = jnp.stack(keys)      # (P, E)
+        tab = jnp.stack(tabs)      # (P, T, E)
+        iota_p = jax.lax.broadcasted_iota(
+            jnp.int32, (P,) + (1,) * len(eshape), 0
+        ).astype(f32)
+        for _rank in range(k):
+            # sequential strict-< argmin (first index wins ties, matching
+            # lax.top_k). NO value-equality against a separately reduced
+            # min: XLA may duplicate the key subgraph into different
+            # fusions whose f32 roundings differ (excess precision), so
+            # `key == jnp.min(key)` can miss by an ulp and select nothing
+            # (observed under pallas interpret on CPU; the sequential scan
+            # keeps selection within one value chain).
+            best = key[0]
+            ib = jnp.zeros_like(best)
+            for pi_ in range(1, P):
+                cond = key[pi_] < best
+                best = jnp.where(cond, key[pi_], best)
+                ib = jnp.where(cond, float(pi_), ib)
+            oh = (iota_p == ib[None]).astype(f32)
+            key = jnp.where(oh > 0, _BIG, key)
+            meta = jnp.sum(oh[:, None] * tab, axis=0)  # (T, E)
+            mv = {name: meta[ci] for ci, name in enumerate(schema)}
+            if t1 == "plane":
+                v = dict(
+                    qp=(mv["qp0"], mv["qp1"], mv["qp2"]),
+                    size=(mv["sz0"], mv["sz1"], mv["sz2"]),
+                )
+                if t2 in ("capsule", "cylinder"):
+                    ax = (mv["ax0"], mv["ax1"], mv["ax2"])
+                    # only columns 0/2 of Rb are consumed downstream;
+                    # column 0 (cylinder degenerate fallback) uses a
+                    # plane tangent (any unit vector ⊥ nothing specific
+                    # is acceptable only for the axis||n fallback; use
+                    # the static plane t1 direction)
+                    t1dir = (plane_frame[3], plane_frame[4],
+                             plane_frame[5])
+                    v["Rb"] = (
+                        (t1dir[0], 0.0, ax[0]),
+                        (t1dir[1], 0.0, ax[1]),
+                        (t1dir[2], 0.0, ax[2]),
+                    )
+                if t2 == "box":
+                    v["Rb"] = tuple(
+                        tuple(mv["R%d%d" % (i2, j2)] for j2 in range(3))
+                        for i2 in range(3)
+                    )
+            else:
+                v = dict(
+                    p1=(mv["p10"], mv["p11"], mv["p12"]),
+                    p2=(mv["p20"], mv["p21"], mv["p22"]),
+                    s1=(mv["s10"], mv["s11"]),
+                    s2=(mv["s20"], mv["s21"]),
+                )
+                if t2 == "capsule":
+                    v["R2"] = (
+                        (0.0, 0.0, mv["a20"]),
+                        (0.0, 0.0, mv["a21"]),
+                        (0.0, 0.0, mv["a22"]),
+                    )
+                if t1 == "capsule":
+                    v["R1"] = (
+                        (0.0, 0.0, mv["a10"]),
+                        (0.0, 0.0, mv["a11"]),
+                        (0.0, 0.0, mv["a12"]),
+                    )
+                if t2 == "box":
+                    v["R2"] = tuple(
+                        tuple(mv["R%d%d" % (i2, j2)] for j2 in range(3))
+                        for i2 in range(3)
+                    )
+                if t2 == "box":
+                    v["s2"] = (mv["s20"], mv["s21"], mv["s22"])
+            for pos, dist, fr in slots_of(v):
+                emit(g, pos, dist, fr, mv["gid1"], mv["gid2"], mv["iw"],
+                     mv["bid1"], mv["bid2"])
+
+    assert len(slot_rows) == colp.ncon, (len(slot_rows), colp.ncon)
+    pack = jnp.stack([jnp.stack(rows) for rows in slot_rows])
+    return pack, gid1_rows, gid2_rows

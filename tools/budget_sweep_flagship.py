@@ -6,7 +6,10 @@ budgets. Picks the default budget honestly: the smallest one whose drift
 stays in the envelope of the long-standing 8/8 default."""
 
 import os
+import sys
+from pathlib import Path
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax
