@@ -175,7 +175,10 @@ class RowPlan:
         self.nrows = self.ne + self.nfl + self.nl + self.ncrow
         if self.nrows == 0:
             return
-        if self.nrows > 280 and not self.elliptic:
+        import os as _os0
+
+        if (self.nrows > int(_os0.environ.get("LMT_MAX_PYR_ROWS", "280"))
+                and not self.elliptic):
             # beyond ~280 rows the fused pyramidal kernel is impractical:
             # G1 (320 rows, nv=29) hits a Mosaic shape-invariant-numerics
             # lowering rejection (sublane-offset ADD-reduction) and, with

@@ -328,3 +328,90 @@ def test_megastep_euler_muscle_matches_staged(monkeypatch):
         scale = float(jnp.max(jnp.abs(r))) + 1e-9
         err = float(jnp.max(jnp.abs(r - g)))
         assert err / scale < 5e-4, (what, err, scale)
+
+
+def test_mega_ell_a1_forward_matches_fused(monkeypatch):
+    """A1's extended elliptic mega (in-kernel analytic collision over ALL
+    group types emitting the generic contact pack,
+    pallas_fk.ColPlanExt / collide_env_block_ext) vs the staged-collision
+    fused elliptic path."""
+    import os
+
+    env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 4)
+    )
+    m = env.model
+    d0 = jax.tree_util.tree_map(lambda l: l[0], st.data)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega and plan.mega_ell
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+
+    def fwd_all(d):
+        out = fwd.forward(m, d)
+        return (out.qacc, out.qfrc_constraint, out.efc_force_contact,
+                out.contact.dist, out.contact.geom2.astype(jnp.float32))
+
+    monkeypatch.setenv("LMT_MEGA", "0")
+    pc._PLAN_CACHE.clear(); pc._FUSED_CACHE.clear(); pc._MEGA_CACHE.clear()
+    ref = jax.jit(jax.vmap(fwd_all))(st.data)
+    monkeypatch.setenv("LMT_MEGA", "1")
+    pc._PLAN_CACHE.clear(); pc._FUSED_CACHE.clear(); pc._MEGA_CACHE.clear()
+    mega = jax.jit(jax.vmap(lambda d: fwd_all(d)))(st.data)
+
+    scale = float(jnp.max(jnp.abs(ref[0]))) + 1e-9
+    for r, g, what in zip(ref[:3], mega[:3], ("qacc", "qfrc", "efc")):
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)
+    # active slots bind to the same geoms at matching depths
+    active = np.asarray(ref[3]) < 0.0
+    assert np.array_equal(np.asarray(ref[4])[active],
+                          np.asarray(mega[4])[active])
+
+
+def test_megastep_ell_a1_matches_staged(monkeypatch):
+    """A1 megastep (Euler + in-kernel collision, n substeps in ONE
+    program) vs sequential staged steps."""
+    import os
+
+    env = lmt.make("UnitreeA1.simple.real", debug=True, dtype=jnp.float32)
+    st = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 2)
+    )
+    m = env.model
+    n = 2
+
+    def nsteps(d):
+        for _ in range(n):
+            d = fwd.step(m, d)
+        return d.qpos, d.qvel, d.qacc_warmstart
+
+    monkeypatch.setattr(pn, "_INTERPRET", True)
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: False)
+    monkeypatch.setenv("LMT_MEGA", "0")
+    monkeypatch.setenv("LMT_MEGASTEP", "0")
+    pc._PLAN_CACHE.clear(); pc._FUSED_CACHE.clear()
+    pc._MEGA_CACHE.clear(); pc._MEGASTEP_CACHE.clear()
+    ref = jax.jit(jax.vmap(nsteps))(st.data)
+
+    monkeypatch.setattr(pn, "pallas_enabled", lambda: True)
+    monkeypatch.setenv("LMT_MEGA", "1")
+    monkeypatch.setenv("LMT_MEGASTEP", "1")
+    pc._PLAN_CACHE.clear(); pc._FUSED_CACHE.clear()
+    pc._MEGA_CACHE.clear(); pc._MEGASTEP_CACHE.clear()
+    d0 = jax.tree_util.tree_map(lambda l: l[0], st.data)
+    plan = pc.get_plan(m, d0.contact)
+    assert plan is not None and plan.mega_ell
+
+    def nsteps_mega(d):
+        out = pc.mega_step_n(m, d, plan, n)
+        assert out is not None
+        return out.qpos, out.qvel, out.qacc_warmstart
+
+    mega = jax.jit(jax.vmap(nsteps_mega))(st.data)
+    for r, g, what in zip(ref, mega, ("qpos", "qvel", "ws")):
+        scale = float(jnp.max(jnp.abs(r))) + 1e-9
+        err = float(jnp.max(jnp.abs(r - g)))
+        assert err / scale < 5e-4, (what, err, scale)

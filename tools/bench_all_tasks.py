@@ -46,10 +46,15 @@ for task in TASKS:
         states.obs.block_until_ready()
         t_compile = time.time() - t0
 
+        # settle into the bench regime, then time with a VALUE sync (the
+        # tunnel's block_until_ready can return before execution finishes)
+        for _ in range(10):
+            states = step_fn(states, actions)
+        float(jnp.sum(states.obs))
         t0 = time.time()
         for _ in range(REPS):
             states = step_fn(states, actions)
-        states.obs.block_until_ready()
+        float(jnp.sum(states.obs))
         dt = (time.time() - t0) / REPS
         ok = bool(jnp.isfinite(states.obs).all())
         print(
