@@ -301,7 +301,12 @@ def _rk4(model: Model, data: Data) -> Data:
         act = _advance_act(model, d0, dact, dt)
     else:
         act = act0
-    return data.replace(
+    # base the returned Data on the LAST stage's `d`: after mj_RungeKutta
+    # the mjData derived fields (contacts, efc forces, qacc) are the
+    # stage-4 forward's — the reference's per-substep GRF readout consumes
+    # exactly those (base.py:623-631), and keeping stage-1's here made the
+    # foot-force window lag the oracle by one substep.
+    return d.replace(
         qpos=qpos, qvel=qvel, act=act, time=d0.time + dt,
         qacc_warmstart=d0.qacc,
     )

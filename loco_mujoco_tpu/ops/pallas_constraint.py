@@ -172,7 +172,18 @@ class RowPlan:
             for d in self.con_dims
         ]
         self.ncrow = sum(self.rows_per)
-        self.nrows = self.ne + self.nfl + self.nl + self.ncrow
+        # pad the bilateral/friction-loss/limit block to a SUBLANE multiple
+        # with inert rows (J = 0, act = 0): row-class boundaries at
+        # non-multiple-of-8 row offsets make every contact-row slice a
+        # sublane-offset tile, and Mosaic's shape-invariant-numerics mode
+        # rejects float ADD-reductions over offset operands once the tiles
+        # get big (G1, 64 contact slots: s0 % 8 == 3 -> hard compile
+        # error). Inert rows contribute exactly zero everywhere (act
+        # gates force/cost/Hessian; J rows are zero).
+        self.npad = (8 - (self.ne + self.nfl + self.nl) % 8) % 8
+        self.nrows = (
+            self.ne + self.nfl + self.nl + self.npad + self.ncrow
+        )
         if self.nrows == 0:
             return
         import os as _os0
@@ -252,7 +263,7 @@ class RowPlan:
         self.anc = np.asarray(model.dof_ancestor_mask, dtype=bool)
 
         # static Efc-compatible metadata (for GRF row extraction)
-        base = self.ne + self.nfl + self.nl
+        base = self.ne + self.nfl + self.nl + self.npad
         adr = base
         efcadr = []
         for r in self.rows_per:
@@ -1352,6 +1363,14 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         finish_row(k, b, imp, pos, sign * qvel[r["v"]][None], r["iw"])
         act_parts.append((dist < r["margin"]).astype(f32))
 
+    # --- inert sublane-pad rows (see RowPlan.npad) ---
+    for _pad in range(plan.npad):
+        for v in range(nv):
+            J_parts[v].append(zeros1)
+        aref_parts.append(zeros1)
+        R_parts.append(ones1)
+        act_parts.append(zeros1)
+
     # ------------------------------------------------------------------
     # contacts + solve + writes. For mega models, the whole section is
     # a closure over a STATIC slot subset so it can be instantiated
@@ -1671,7 +1690,7 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         else:
             floss_fl = jnp.zeros((1, *eshape), dtype=f32)
 
-        s0 = plan.ne + plan.nfl + plan.nl
+        s0 = plan.ne + plan.nfl + plan.nl + plan.npad
         if plan.elliptic and ncon:
             # run layout over the (possibly subset) slot list
             cd_l = (
@@ -2142,7 +2161,7 @@ def fused_constraint(model: Model, data, plan: RowPlan):
         maxd = efc_force_contact.shape[-1]
         rowidx = np.zeros((plan.ncon, maxd), dtype=np.int32)
         rowmsk = np.zeros((plan.ncon, maxd), dtype=bool)
-        s0 = plan.ne + plan.nfl + plan.nl
+        s0 = plan.ne + plan.nfl + plan.nl + plan.npad
         for c in range(plan.ncon):
             nrow = min(plan.rows_per[c], maxd)
             if plan.elliptic:

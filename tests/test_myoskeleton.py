@@ -206,13 +206,18 @@ def _full_scale_xml(tmp_path):
     flat = [j for grp in joints for j in grp]
     flat += arms["r"] + arms["l"] + legs["r"] + legs["l"]
     # hand/toe filler to the real count
-    fingers = itertools.cycle(
-        f"{f}{seg}_{side}"
-        for side in ("r", "l")
-        for f in ("thumb_cmc", "thumb_mp", "index", "middle", "ring",
-                  "little")
-        for seg in ("_mcp", "_pip", "_dip")
-    )
+    def filler_names():
+        for side in ("r", "l"):
+            for f in ("thumb_cmc", "thumb_mp", "index", "middle", "ring",
+                      "little"):
+                for seg in ("_mcp", "_pip", "_dip"):
+                    yield f"{f}{seg}_{side}"
+        i = 0
+        while True:  # beyond the hand names: indexed auxiliary joints
+            yield f"aux_{i:02d}"
+            i += 1
+
+    fingers = filler_names()
     seen = set(flat)
     while len(flat) < 151:
         n = next(fingers)
@@ -286,7 +291,11 @@ def test_full_scale_pipeline(tmp_path):
     """Spec derivation at the real model's scale: 151 joints -> nv 157,
     obs 312, 151 actuators, GRF 30."""
     xml = _full_scale_xml(tmp_path)
-    env = MyoSkeleton(xml_path=xml, dtype=jnp.float64)
+    env = MyoSkeleton(
+        xml_path=xml, dtype=jnp.float64,
+        reward_type="target_velocity",
+        reward_params=dict(target_velocity=1.25),
+    )
     m = env.model
     assert m.nv == 157 and m.nq == 157
     assert env.obs_index.size - 2 == 312

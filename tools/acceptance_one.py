@@ -68,7 +68,7 @@ def oracle_obs(env, mj_data, state):
         )
 
     if getattr(env, "use_foot_forces", False):
-        raise NotImplementedError  # handled by tools/acceptance_grf.py
+        raise NotImplementedError  # run_grf maintains its own window
 
     if hasattr(env, "_env_id_len"):  # 4-ages env-id bits (big-endian)
         idx = (
@@ -342,8 +342,120 @@ def _gym_transparency(env, task, seed, reset_fn, step_fn, native_obs,
     return 0
 
 
+def _oracle_grf_sample(env, mj_model, mj_data):
+    """One GRF window sample on the oracle state: per collision group, the
+    mj_contactForce contact-frame force sum [:3] (the engine's documented
+    sum semantics — see tests/test_grf.py on the first-contact deviation
+    from mushroom-rl)."""
+    out = []
+    buf = np.zeros(6)
+    floor = set(int(g) for g in env._floor_ids)
+    for grp in env._grf_groups:
+        gset = set(int(g) for g in grp)
+        f = np.zeros(3)
+        for i in range(mj_data.ncon):
+            c = mj_data.contact[i]
+            g1, g2 = int(c.geom1), int(c.geom2)
+            if (g1 in floor and g2 in gset) or (g1 in gset and g2 in floor):
+                mujoco.mj_contactForce(mj_model, mj_data, i, buf)
+                f += buf[:3]
+        out.append(f)
+    return np.concatenate(out)
+
+
+def run_grf(task: str, steps: int = 50, seed: int = 11) -> int:
+    """Foot-forces acceptance leg: closed-loop parity of the GRF
+    observation block (per-substep force sampling into the running
+    window, mean/1000 appended to the obs — reference base.py:596-599,
+    623-631, 656-665)."""
+    import loco_mujoco_tpu as lmt
+
+    try:
+        env = lmt.make(
+            task, debug=True, dtype=jnp.float64, use_foot_forces=True,
+            use_absorbing_states=False, auto_reset=False,
+            solver_iterations=100, ls_iterations=50,
+        )
+    except FileNotFoundError as e:
+        print(f"SKIP-GRF {task}: {e}")
+        return 3
+    env.model = env.model.replace(contact_k_plane=32, contact_k_other=8)
+
+    from loco_mujoco_tpu.ops.collision import SLOTS
+
+    reset_fn = jax.jit(env.reset)
+    step_fn = jax.jit(env.step)
+    rng_keys = jax.random.PRNGKey(seed)
+    state = reset_fn(rng_keys)
+    mj_model, mj_data = _sync_oracle(env, state)
+    gt = np.asarray(mj_model.geom_type)
+
+    window = np.zeros((env.grf_window, env.grf_size))
+    rng = np.random.default_rng(seed)
+    kin = env.obs_index.size - 2
+    max_g = 0.0
+    truncs = 0
+    i = 0
+    while i < steps:
+        action = rng.normal(scale=0.1, size=env.action_dim)
+        mj_data.ctrl[:] = (
+            action * np.asarray(env.norm_act_delta)
+            + np.asarray(env.norm_act_mean)
+        )
+        unsupported = False
+        for _ in range(env.n_substeps):
+            mujoco.mj_step(mj_model, mj_data)
+            for ci in range(mj_data.ncon):
+                c = mj_data.contact[ci]
+                t = (int(gt[c.geom1]), int(gt[c.geom2]))
+                if t not in SLOTS and tuple(reversed(t)) not in SLOTS:
+                    unsupported = True
+            window = np.concatenate(
+                [window[1:], _oracle_grf_sample(env, mj_model, mj_data)[None]]
+            )
+        if unsupported:
+            # outside the supported narrowphase (same policy as the main
+            # harness): reset both sides, clear the window, keep counting
+            truncs += 1
+            if truncs > steps:
+                print(f"FAIL-GRF {task}: truncation loop")
+                return 1
+            rng_keys, k = jax.random.split(rng_keys)
+            state = reset_fn(k)
+            mj_model, mj_data = _sync_oracle(env, state)
+            gt = np.asarray(mj_model.geom_type)
+            window = np.zeros((env.grf_window, env.grf_size))
+            continue
+        i += 1
+        state = step_fn(state, jnp.asarray(action))
+        ours = np.asarray(state.obs)
+        oracle_grf = window.mean(axis=0) / 1000.0
+        gerr = float(np.max(np.abs(
+            ours[kin:kin + env.grf_size] - oracle_grf
+        )))
+        kerr = float(np.max(np.abs(
+            np.asarray(state.data.qpos) - mj_data.qpos
+        )))
+        max_g = max(max_g, gerr)
+        if kerr > QPOS_ATOL or gerr > 1e-5:
+            print(
+                f"FAIL-GRF {task}: diverged at validated step {i} "
+                f"(qpos err {kerr:.2e}, grf err {gerr:.2e})"
+            )
+            return 1
+    print(
+        f"PASS-GRF {task}: {steps} steps validated, GRF window obs "
+        f"matched (max err {max_g:.2e}; {truncs} unsupported-pair "
+        f"truncations)"
+    )
+    return 0
+
+
 if __name__ == "__main__":
-    task = sys.argv[1]
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 11
-    sys.exit(run(task, steps, seed))
+    args = [a for a in sys.argv[1:] if a != "--grf"]
+    task = args[0]
+    steps = int(args[1]) if len(args) > 1 else None
+    seed = int(args[2]) if len(args) > 2 else 11
+    if "--grf" in sys.argv:
+        sys.exit(run_grf(task, steps or 50, seed))
+    sys.exit(run(task, steps or 200, seed))
