@@ -1539,6 +1539,47 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
             # pass here and in solve_core (pyr["live"])
             jt_live = [maskd_of[v] is not None for v in range(nv)]
 
+            # big pyramidal models (G1: 64 slots): pin the contact-axis
+            # rows and traced friction rows to ZERO-OFFSET layouts via a
+            # VMEM scratch round-trip. They derive from single-row slices
+            # of the packed cp (whose W axis lives in sublanes), so Mosaic
+            # propagates sublane offsets into them, and its
+            # shape-invariant-numerics mode then rejects the solver's ADD
+            # reductions over the offset (ncon, E) tiles ("input layout
+            # must have zero offsets"). The copy is a few thousand row
+            # writes per forward; semantics are bit-identical.
+            if ncon >= 64 and not plan.elliptic:
+                n_mu = 0 if plan.uniform and plan.fric_uniform else 2
+
+                def _pin_scoped(ref):
+                    r = 0
+                    for t in range(3):
+                        for v in range(nv):
+                            if jt_live[v]:
+                                ref[r] = jt[t][v]
+                            r += 1
+                    if n_mu:
+                        ref[3 * nv] = mu1
+                        ref[3 * nv + 1] = mu2
+                    out_jt = [[None] * nv for _ in range(3)]
+                    r = 0
+                    for t in range(3):
+                        for v in range(nv):
+                            out_jt[t][v] = (
+                                ref[r] if jt_live[v] else jt[t][v]
+                            )
+                            r += 1
+                    if n_mu:
+                        return out_jt, ref[3 * nv], ref[3 * nv + 1]
+                    return out_jt, mu1, mu2
+
+                from jax.experimental.pallas import tpu as _pltpu
+
+                jt, mu1, mu2 = pl.run_scoped(
+                    _pin_scoped,
+                    _pltpu.VMEM((3 * nv + 2, ncon, *eshape), f32),
+                )
+
             # per-axis velocities (vel of any contact row is a combination)
             vel_ax = []
             for t in range(3):

@@ -350,7 +350,11 @@ def _oracle_grf_sample(env, mj_model, mj_data):
     out = []
     buf = np.zeros(6)
     floor = set(int(g) for g in env._floor_ids)
-    for grp in env._grf_groups:
+    groups = (
+        env._grf_groups if hasattr(env, "_grf_groups")
+        else [env._foot_ids[f] for f in ("FL", "FR", "RL", "RR")]  # A1
+    )
+    for grp in groups:
         gset = set(int(g) for g in grp)
         f = np.zeros(3)
         for i in range(mj_data.ncon):
