@@ -188,7 +188,7 @@ class RowPlan:
             return
         import os as _os0
 
-        if (self.nrows > int(_os0.environ.get("LMT_MAX_PYR_ROWS", "280"))
+        if (self.nrows > int(_os0.environ.get("LMT_MAX_PYR_ROWS", "400"))
                 and not self.elliptic):
             # beyond ~280 rows the fused pyramidal kernel is impractical:
             # G1 (320 rows, nv=29) hits a Mosaic shape-invariant-numerics
@@ -422,7 +422,7 @@ class RowPlan:
         # consumes it, eliminating the staged XLA collision driver + the
         # (E, ncon, 29) pack relayout (~75 of A1's 219 ms/step at 4096).
         self.mega_ell = False
-        if (not self.mega) and self.elliptic and self.ncon and self.smooth:
+        if (not self.mega) and self.ncon and self.smooth:
             try:
                 from . import pallas_fk as pfk
 
@@ -430,8 +430,19 @@ class RowPlan:
                 self.colp = pfk.ColPlanExt(model, _conc)
                 if self.colp.ncon != self.ncon:
                     raise ValueError("slot count mismatch")
+                tbl_bytes = sum(
+                    # (Pb, R, V) table + its (Pb, V, 3) transpose
+                    int(np.prod(sub[1][1])) * 4
+                    + int(sub[1][1][0] * sub[1][1][2] * 3) * 4
+                    for grp in self.colp.groups
+                    if grp["kind"][1] == "mesh"
+                    for sub in grp["subs"]
+                )
+                if tbl_bytes > 48 * 1024 * 1024:
+                    raise ValueError("mesh tables exceed mega VMEM budget")
+                self.mega_tbl_bytes = tbl_bytes
                 self.mega = True
-                self.mega_ell = True
+                self.mega_ell = True  # "ext" outputs: force rows + gids
                 self.mp = None
                 self.mega_fast = None  # branch spec: ell_fast on cp rows
             except Exception:
@@ -1176,7 +1187,7 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         if ncon and getattr(plan, "mega_ell", False):
             # extended analytic collision -> generic contact pack, in VMEM
             pack, gid1_rows, gid2_rows = pfk.collide_env_block_ext(
-                plan.colp, fkres, zero_env, qpos.shape[1:]
+                plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
             )
 
             def cp_read(pack=pack):
@@ -2231,7 +2242,7 @@ def fused_constraint(model: Model, data, plan: RowPlan):
 _MEGA_MAXD = 4  # condim-3 pyramid: 4 facet rows per slot
 
 
-def _mega_sublanes():
+def _mega_sublanes(plan=None):
     """Env sublanes S for the mega kernel's grouped (S, 128) layout.
     Scalar chains (FK, smooth preamble, collision prep, Cholesky) run at
     1/8 VPU density on (1, 128) lanes rows; packing S env groups into
@@ -2245,7 +2256,22 @@ def _mega_sublanes():
     import os as _os
 
     s = int(_os.environ.get("LMT_MEGA_SUBLANES", "8"))
-    return s if s in (2, 4, 8) else 1
+    s = s if s in (2, 4, 8) else 1
+    if plan is not None:
+        tbl = getattr(plan, "mega_tbl_bytes", 0) or 0
+        if tbl > 8 * 1024 * 1024:
+            # big resident mesh tables (G1: 31 MB of hull buckets): shrink
+            # the env block until tables + the per-block live set fit the
+            # scoped budget. (The est-based clamp is NOT applied to
+            # table-free plans — the calibration overestimates the ext
+            # path by ~8x and would wrongly demote A1 from S=8.)
+            budget = int(_os.environ.get(
+                "LMT_SCOPED_VMEM_KIB", "81920"
+            )) * 1024 * 0.75  # tables + live set; Mosaic's peak runs past
+            # the estimate (G1 at S=2: 83.8M actual vs 71.5M estimated)
+            while s > 1 and tbl + plan.est_bytes * s > budget:
+                s //= 2
+    return s
 
 
 def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
@@ -2257,7 +2283,7 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
     (S, 128) env blocks with LMT_MEGA_SUBLANES."""
     E = vec.shape[0]
     f32 = jnp.float32
-    S = _mega_sublanes()
+    S = _mega_sublanes(plan)
     grouped = S > 1 and E > 128
     if grouped:
         R = (((E + 127) // 128 + S - 1) // S) * S
@@ -2361,7 +2387,7 @@ def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
     scale = None if scale is None else float(scale)
     tolerance = None if tolerance is None else float(tolerance)
     key = (id(plan), iterations, ls_iterations, scale, tolerance,
-           _mega_sublanes())
+           _mega_sublanes(plan))
     hit = _MEGA_CACHE.get(key)
     if hit is not None:
         return hit
@@ -2483,9 +2509,14 @@ def _mega_ell_finish(model: Model, data, plan: RowPlan, outs, dtype):
         maxd = int(efc_force_contact.shape[-1])
         rowidx = np.zeros((ncon, maxd), dtype=np.int32)
         rowmsk = np.zeros((ncon, maxd), dtype=bool)
+        s0 = plan.ne + plan.nfl + plan.nl + plan.npad
         for c in range(ncon):
             nrow = min(plan.rows_per[c], maxd)
-            rowidx[c, :nrow] = plan.con_efcadr[c] + np.arange(nrow)
+            if plan.elliptic:
+                rowidx[c, :nrow] = plan.con_efcadr[c] + np.arange(nrow)
+            else:
+                # blocked facet layout: facet f of slot c at s0 + f*ncon + c
+                rowidx[c, :nrow] = s0 + np.arange(nrow) * ncon + c
             rowmsk[c, :nrow] = True
         efc_force_contact = jnp.where(
             jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
@@ -2691,7 +2722,7 @@ def _megastep_batched(plan: RowPlan, iterations, ls_iterations, scale,
     """Batched megastep entry; layout identical to _mega_batched."""
     E = vec.shape[0]
     f32 = jnp.float32
-    S = _mega_sublanes()
+    S = _mega_sublanes(plan)
     grouped = S > 1 and E > 128
     if grouped:
         R = (((E + 127) // 128 + S - 1) // S) * S
@@ -2787,7 +2818,7 @@ def get_megastep_solver(plan: RowPlan, iterations, ls_iterations,
     scale = None if scale is None else float(scale)
     tolerance = None if tolerance is None else float(tolerance)
     key = (id(plan), iterations, ls_iterations, scale, tolerance,
-           n_steps, rk4, use_dv, act_bounds, _mega_sublanes())
+           n_steps, rk4, use_dv, act_bounds, _mega_sublanes(plan))
     hit = _MEGASTEP_CACHE.get(key)
     if hit is not None:
         return hit

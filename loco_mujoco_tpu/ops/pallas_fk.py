@@ -653,6 +653,216 @@ def _support_key(kind, n, pp_n, qp, Rb, a, size, zero):
     return materialize(sub(h, supp), zero)
 
 
+def _mesh_group_slots(g, fk, my_tbls, n, pp_n, zero, eshape, body_t):
+    """Plane-mesh group: bucketed manifold selection + top-k, emitting
+    k*3 slots as (world pos 3-tuple rows, dist row, gid row) — shared by
+    the plane-only mega path (collide_env_block) and the extended plan
+    (collide_env_block_ext)."""
+    f32 = jnp.float32
+    mesh_pairs = g["pairs"]
+    P, k = len(mesh_pairs), g["k"]
+    subs = g["subs"]
+
+    a_rows, b_rows, qp_list, R2_list = [], [], [], []
+    for bp in mesh_pairs:
+        qp, Rb, a = _pair_pose(fk, bp, body_t, n)
+        a_rows.append(tuple(materialize(x, zero) for x in a))
+        b_rows.append(materialize(sub(dot3(n, qp), pp_n), zero))
+        qp_list.append(qp)
+        R2_list.append(Rb)
+
+    def scoped(d0_ref, wpos_ref, slot_ref, subs=subs, my_tbls=my_tbls,
+               a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
+               R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
+               g=g):
+        ones_e = (1,) * len(eshape)
+        pi = 0
+        for ti, (ids, tbl_t, marg, D) in enumerate(subs):
+            tbl_ref = my_tbls[2 * ti]
+            tblT_ref = my_tbls[2 * ti + 1]
+            V = tbl_ref.shape[2]
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (V,) + ones_e, 0
+            ).astype(f32)
+            for lp in range(len(ids)):
+                p = pi + lp
+                (margin, dedupe2, lox, loy, loz, hix, hiy, hiz) = (
+                    float(x) for x in marg[lp]
+                )
+                # directed-extent support bound (see
+                # pallas_collision._make_kernel): min height >=
+                # b + sum_i min(a_i lo_i, a_i hi_i)
+                lb = b_rows[p] - 1e-6
+                for ai, loi, hii in (
+                    (a_rows[p][0], lox, hix),
+                    (a_rows[p][1], loy, hiy),
+                    (a_rows[p][2], loz, hiz),
+                ):
+                    lb = lb + jnp.minimum(ai * loi, ai * hii)
+                tbl = tbl_ref[lp]  # (3+4D, V)
+                tblT = tblT_ref[lp]  # (V, 3)
+                d0_ref[p, 0] = lb
+                d0_ref[p, 1] = zero + _BIG
+                d0_ref[p, 2] = zero + _BIG
+                # wpos holds WORLD slot positions (pretransformed here
+                # so the rank loop gathers 13 rows instead of 25 and
+                # skips the per-rank qp/R2 transform); far pairs carry
+                # the geom origin as a harmless inactive default
+                for i3 in range(9):
+                    wpos_ref[p, i3] = materialize(
+                        qp_list[p][i3 % 3], zero
+                    )
+
+                @pl.when(jnp.min(lb) < margin)
+                def _near(p=p, tbl=tbl, tblT=tblT, iota=iota,
+                          margin=margin, dedupe2=dedupe2, D=D):
+                    a0 = a_rows[p][0][None]
+                    a1 = a_rows[p][1][None]
+                    a2 = a_rows[p][2][None]
+                    bb = b_rows[p][None]
+                    A = jnp.concatenate([a0, a1, a2], axis=0)
+                    h = _dot3_split(tblT, A) + bb  # (V, *E)
+                    d0 = jnp.min(h, axis=0, keepdims=True)
+                    d0_ref[p, 0] = d0[0]
+
+                    @pl.when(jnp.min(d0) < margin)
+                    def _manifold():
+                        i0 = jnp.min(
+                            jnp.where(h == d0, iota, float(V)),
+                            axis=0, keepdims=True,
+                        )
+                        oh0 = (iota == i0).astype(f32)
+                        q = _gather_dot(tbl, oh0)  # (3+4D, *E)
+                        v0x, v0y, v0z = (
+                            q[0][None], q[1][None], q[2][None]
+                        )
+                        ids_n = q[3:3 + D]
+                        cx = q[3 + D:3 + 2 * D]
+                        cy = q[3 + 2 * D:3 + 3 * D]
+                        cz = q[3 + 3 * D:3 + 4 * D]
+                        hc = cx * a0 + cy * a1 + cz * a2 + bb
+                        ex = cx - v0x + 0.5 * d0 * a0
+                        ey = cy - v0y + 0.5 * d0 * a1
+                        ez = cz - v0z + 0.5 * d0 * a2
+                        dist2 = ex * ex + ey * ey + ez * ez
+                        qual = (
+                            (ids_n > -0.5) & (hc < margin)
+                            & (dist2 >= dedupe2)
+                        )
+                        qf = qual.astype(f32)
+                        big = jnp.full_like(d0, _BIG)
+                        zr = jnp.zeros_like(d0)
+                        cnt = zr
+                        d1 = d2 = big
+                        v1 = [zr, zr, zr]
+                        v2 = [zr, zr, zr]
+                        # select, not accumulate-toward: the
+                        # d1 + t1*(hc - d1) form cancels catastrophically
+                        # in f32 when d1 = _BIG (hc - 1e10 rounds to
+                        # -1e10 exactly), silently zeroing every
+                        # neighbor slot depth
+                        for dc in range(D):
+                            qd = qf[dc][None]
+                            t1 = (qd * (cnt == 0.0)) > 0
+                            t2 = (qd * (cnt == 1.0)) > 0
+                            d1 = jnp.where(t1, hc[dc][None], d1)
+                            d2 = jnp.where(t2, hc[dc][None], d2)
+                            for k3, cc in enumerate((cx, cy, cz)):
+                                v1[k3] = jnp.where(
+                                    t1, cc[dc][None], v1[k3]
+                                )
+                                v2[k3] = jnp.where(
+                                    t2, cc[dc][None], v2[k3]
+                                )
+                            cnt = cnt + qd
+                        d0_ref[p, 1] = d1[0]
+                        d0_ref[p, 2] = d2[0]
+                        # world slot positions: w = qp + R2 v - n d/2
+                        qp, R2 = qp_list[p], R2_list[p]
+                        for f, (vv, dd) in enumerate((
+                            ((q[0][None], q[1][None], q[2][None]), d0),
+                            (v1, d1), (v2, d2),
+                        )):
+                            d2h = 0.5 * dd[0]
+                            for i3 in range(3):
+                                w = add(
+                                    qp[i3],
+                                    mul(R2[i3][0], vv[0][0]),
+                                    mul(R2[i3][1], vv[1][0]),
+                                    mul(R2[i3][2], vv[2][0]),
+                                )
+                                wpos_ref[p, 3 * f + i3] = (
+                                    materialize(w, zero) - n[i3] * d2h
+                                )
+
+            pi += len(ids)
+
+        # ---- top-k pair selection + slot build ----
+        d_all = d0_ref[...]       # (P, 3, BE)
+        wpos_all = wpos_ref[...]  # (P, 9, BE) world slot positions
+        gid_tab = jnp.stack([
+            zero + float(mesh_pairs[p]["gid"]) for p in range(P)
+        ])  # (P, BE)
+        key = d_all[:, 0] - g["margin"]
+        iota_p = jax.lax.broadcasted_iota(
+            jnp.int32, (P,) + (1,) * len(eshape), 0
+        ).astype(f32)
+
+        gid0 = float(mesh_pairs[0]["gid"])
+        for s in range(k):
+            # selection bookkeeping is unconditional (cheap, and
+            # `key` threads through the python loop); the one-hot
+            # gathers + world transforms — the expensive part — run
+            # only while some env still has an active (key < 0) pair
+            # left at this rank. Keys only grow across ranks, so a
+            # skipped rank implies all later ranks skip too; fallback
+            # rows (dist = BIG -> act 0, slot-0 gid, zero pos) are
+            # never read by the solver.
+            m = jnp.min(key, axis=0, keepdims=True)
+            i = jnp.min(
+                jnp.where(key == m, iota_p, float(P)),
+                axis=0, keepdims=True,
+            )
+            oh = (iota_p == i).astype(f32)  # (P, BE)
+            key = jnp.where(oh > 0, _BIG, key)
+            for f in range(3):
+                slot_ref[s, f] = zero + _BIG
+            for f in range(9):
+                slot_ref[s, 3 + f] = zero
+            slot_ref[s, 12] = zero + gid0
+
+            @pl.when(jnp.min(m) < 0.0)
+            def _build(s=s, oh=oh):
+                ohe = oh[:, None]
+                dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
+                wsel = jnp.sum(ohe * wpos_all, axis=0)   # (9, BE)
+                for f in range(3):
+                    slot_ref[s, f] = dsel[f]
+                    for i3 in range(3):
+                        slot_ref[s, 3 + 3 * f + i3] = wsel[3 * f + i3]
+                slot_ref[s, 12] = jnp.sum(oh * gid_tab, axis=0)
+
+        return slot_ref[...]
+
+
+    slot = pl.run_scoped(
+        scoped,
+        pltpu.VMEM((P, 3, *eshape), f32),
+        pltpu.VMEM((P, 9, *eshape), f32),
+        pltpu.VMEM((k, 13, *eshape), f32),
+    )
+
+    out = []
+    for s in range(k):
+        for f in range(3):
+            out.append((
+                tuple(slot[s, 3 + 3 * f + i3] for i3 in range(3)),
+                slot[s, f],
+                slot[s, 12],
+            ))
+    return out
+
+
 def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
     """In-kernel plane collision for one env block.
 
@@ -761,206 +971,14 @@ def collide_env_block(colp: ColPlan, fk: FkResult, tbl_refs, zero, eshape):
             continue
 
         # ---- mesh group: bucketed manifold selection + top-k ----
-        mesh_pairs = pairs
-        subs = g["subs"]
-        my_tbls = tbl_refs[tbl_i:tbl_i + 2 * len(subs)]
-        tbl_i += 2 * len(subs)
-
-        a_rows, b_rows, qp_list, R2_list = [], [], [], []
-        for bp in mesh_pairs:
-            qp, Rb, a = _pair_pose(fk, bp, body_t, n)
-            a_rows.append(tuple(materialize(x, zero) for x in a))
-            b_rows.append(materialize(sub(dot3(n, qp), pp_n), zero))
-            qp_list.append(qp)
-            R2_list.append(Rb)
-
-        def scoped(d0_ref, wpos_ref, slot_ref, subs=subs, my_tbls=my_tbls,
-                   a_rows=a_rows, b_rows=b_rows, qp_list=qp_list,
-                   R2_list=R2_list, P=P, k=k, mesh_pairs=mesh_pairs,
-                   g=g):
-            ones_e = (1,) * len(eshape)
-            pi = 0
-            for ti, (ids, tbl_t, marg, D) in enumerate(subs):
-                tbl_ref = my_tbls[2 * ti]
-                tblT_ref = my_tbls[2 * ti + 1]
-                V = tbl_ref.shape[2]
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (V,) + ones_e, 0
-                ).astype(f32)
-                for lp in range(len(ids)):
-                    p = pi + lp
-                    (margin, dedupe2, lox, loy, loz, hix, hiy, hiz) = (
-                        float(x) for x in marg[lp]
-                    )
-                    # directed-extent support bound (see
-                    # pallas_collision._make_kernel): min height >=
-                    # b + sum_i min(a_i lo_i, a_i hi_i)
-                    lb = b_rows[p] - 1e-6
-                    for ai, loi, hii in (
-                        (a_rows[p][0], lox, hix),
-                        (a_rows[p][1], loy, hiy),
-                        (a_rows[p][2], loz, hiz),
-                    ):
-                        lb = lb + jnp.minimum(ai * loi, ai * hii)
-                    tbl = tbl_ref[lp]  # (3+4D, V)
-                    tblT = tblT_ref[lp]  # (V, 3)
-                    d0_ref[p, 0] = lb
-                    d0_ref[p, 1] = zero + _BIG
-                    d0_ref[p, 2] = zero + _BIG
-                    # wpos holds WORLD slot positions (pretransformed here
-                    # so the rank loop gathers 13 rows instead of 25 and
-                    # skips the per-rank qp/R2 transform); far pairs carry
-                    # the geom origin as a harmless inactive default
-                    for i3 in range(9):
-                        wpos_ref[p, i3] = materialize(
-                            qp_list[p][i3 % 3], zero
-                        )
-
-                    @pl.when(jnp.min(lb) < margin)
-                    def _near(p=p, tbl=tbl, tblT=tblT, iota=iota,
-                              margin=margin, dedupe2=dedupe2, D=D):
-                        a0 = a_rows[p][0][None]
-                        a1 = a_rows[p][1][None]
-                        a2 = a_rows[p][2][None]
-                        bb = b_rows[p][None]
-                        A = jnp.concatenate([a0, a1, a2], axis=0)
-                        h = _dot3_split(tblT, A) + bb  # (V, *E)
-                        d0 = jnp.min(h, axis=0, keepdims=True)
-                        d0_ref[p, 0] = d0[0]
-
-                        @pl.when(jnp.min(d0) < margin)
-                        def _manifold():
-                            i0 = jnp.min(
-                                jnp.where(h == d0, iota, float(V)),
-                                axis=0, keepdims=True,
-                            )
-                            oh0 = (iota == i0).astype(f32)
-                            q = _gather_dot(tbl, oh0)  # (3+4D, *E)
-                            v0x, v0y, v0z = (
-                                q[0][None], q[1][None], q[2][None]
-                            )
-                            ids_n = q[3:3 + D]
-                            cx = q[3 + D:3 + 2 * D]
-                            cy = q[3 + 2 * D:3 + 3 * D]
-                            cz = q[3 + 3 * D:3 + 4 * D]
-                            hc = cx * a0 + cy * a1 + cz * a2 + bb
-                            ex = cx - v0x + 0.5 * d0 * a0
-                            ey = cy - v0y + 0.5 * d0 * a1
-                            ez = cz - v0z + 0.5 * d0 * a2
-                            dist2 = ex * ex + ey * ey + ez * ez
-                            qual = (
-                                (ids_n > -0.5) & (hc < margin)
-                                & (dist2 >= dedupe2)
-                            )
-                            qf = qual.astype(f32)
-                            big = jnp.full_like(d0, _BIG)
-                            zr = jnp.zeros_like(d0)
-                            cnt = zr
-                            d1 = d2 = big
-                            v1 = [zr, zr, zr]
-                            v2 = [zr, zr, zr]
-                            # select, not accumulate-toward: the
-                            # d1 + t1*(hc - d1) form cancels catastrophically
-                            # in f32 when d1 = _BIG (hc - 1e10 rounds to
-                            # -1e10 exactly), silently zeroing every
-                            # neighbor slot depth
-                            for dc in range(D):
-                                qd = qf[dc][None]
-                                t1 = (qd * (cnt == 0.0)) > 0
-                                t2 = (qd * (cnt == 1.0)) > 0
-                                d1 = jnp.where(t1, hc[dc][None], d1)
-                                d2 = jnp.where(t2, hc[dc][None], d2)
-                                for k3, cc in enumerate((cx, cy, cz)):
-                                    v1[k3] = jnp.where(
-                                        t1, cc[dc][None], v1[k3]
-                                    )
-                                    v2[k3] = jnp.where(
-                                        t2, cc[dc][None], v2[k3]
-                                    )
-                                cnt = cnt + qd
-                            d0_ref[p, 1] = d1[0]
-                            d0_ref[p, 2] = d2[0]
-                            # world slot positions: w = qp + R2 v - n d/2
-                            qp, R2 = qp_list[p], R2_list[p]
-                            for f, (vv, dd) in enumerate((
-                                ((q[0][None], q[1][None], q[2][None]), d0),
-                                (v1, d1), (v2, d2),
-                            )):
-                                d2h = 0.5 * dd[0]
-                                for i3 in range(3):
-                                    w = add(
-                                        qp[i3],
-                                        mul(R2[i3][0], vv[0][0]),
-                                        mul(R2[i3][1], vv[1][0]),
-                                        mul(R2[i3][2], vv[2][0]),
-                                    )
-                                    wpos_ref[p, 3 * f + i3] = (
-                                        materialize(w, zero) - n[i3] * d2h
-                                    )
-
-                pi += len(ids)
-
-            # ---- top-k pair selection + slot build ----
-            d_all = d0_ref[...]       # (P, 3, BE)
-            wpos_all = wpos_ref[...]  # (P, 9, BE) world slot positions
-            gid_tab = jnp.stack([
-                zero + float(mesh_pairs[p]["gid"]) for p in range(P)
-            ])  # (P, BE)
-            key = d_all[:, 0] - g["margin"]
-            iota_p = jax.lax.broadcasted_iota(
-                jnp.int32, (P,) + (1,) * len(eshape), 0
-            ).astype(f32)
-
-            gid0 = float(mesh_pairs[0]["gid"])
-            for s in range(k):
-                # selection bookkeeping is unconditional (cheap, and
-                # `key` threads through the python loop); the one-hot
-                # gathers + world transforms — the expensive part — run
-                # only while some env still has an active (key < 0) pair
-                # left at this rank. Keys only grow across ranks, so a
-                # skipped rank implies all later ranks skip too; fallback
-                # rows (dist = BIG -> act 0, slot-0 gid, zero pos) are
-                # never read by the solver.
-                m = jnp.min(key, axis=0, keepdims=True)
-                i = jnp.min(
-                    jnp.where(key == m, iota_p, float(P)),
-                    axis=0, keepdims=True,
-                )
-                oh = (iota_p == i).astype(f32)  # (P, BE)
-                key = jnp.where(oh > 0, _BIG, key)
-                for f in range(3):
-                    slot_ref[s, f] = zero + _BIG
-                for f in range(9):
-                    slot_ref[s, 3 + f] = zero
-                slot_ref[s, 12] = zero + gid0
-
-                @pl.when(jnp.min(m) < 0.0)
-                def _build(s=s, oh=oh):
-                    ohe = oh[:, None]
-                    dsel = jnp.sum(ohe * d_all, axis=0)      # (3, BE)
-                    wsel = jnp.sum(ohe * wpos_all, axis=0)   # (9, BE)
-                    for f in range(3):
-                        slot_ref[s, f] = dsel[f]
-                        for i3 in range(3):
-                            slot_ref[s, 3 + 3 * f + i3] = wsel[3 * f + i3]
-                    slot_ref[s, 12] = jnp.sum(oh * gid_tab, axis=0)
-
-            return slot_ref[...]
-
-
-        slot = pl.run_scoped(
-            scoped,
-            pltpu.VMEM((P, 3, *eshape), f32),
-            pltpu.VMEM((P, 9, *eshape), f32),
-            pltpu.VMEM((k, 13, *eshape), f32),
-        )
-        for s in range(k):
-            for f in range(3):
-                cpos.append(tuple(
-                    slot[s, 3 + 3 * f + i3] for i3 in range(3)
-                ))
-                dist.append(slot[s, f])
-                gid2.append(slot[s, 12])
+        my_tbls = tbl_refs[tbl_i:tbl_i + 2 * len(g["subs"])]
+        tbl_i += 2 * len(g["subs"])
+        for pos, d, gid in _mesh_group_slots(
+            g, fk, my_tbls, n, pp_n, zero, eshape, body_t
+        ):
+            cpos.append(pos)
+            dist.append(d)
+            gid2.append(gid)
 
     return cpos, dist, gid2
 
@@ -1492,8 +1510,8 @@ class ColPlanExt:
 
     _SUP = {
         ("plane", "sphere"), ("plane", "capsule"), ("plane", "cylinder"),
-        ("plane", "box"), ("sphere", "sphere"), ("sphere", "capsule"),
-        ("sphere", "box"), ("capsule", "capsule"),
+        ("plane", "box"), ("plane", "mesh"), ("sphere", "sphere"),
+        ("sphere", "capsule"), ("sphere", "box"), ("capsule", "capsule"),
     }
 
     def __init__(self, model, conc):
@@ -1506,7 +1524,14 @@ class ColPlanExt:
             int(GeomType.CYLINDER): "cylinder", int(GeomType.BOX): "box",
             int(GeomType.MESH): "mesh",
         }
+        from ..core.types import ConeType
+
         groups, total, _ = contact_groups(model)
+        # friction components in the pack must match the consumer's
+        # plan.nfric (5 for elliptic cones, 2 for pyramidal)
+        self.nfric = (
+            5 if int(model.opt.cone) == int(ConeType.ELLIPTIC) else 2
+        )
         need = [
             model.geom_pos, model.geom_quat, model.geom_size,
             model.pair_margin, model.pair_gap, model.pair_solref,
@@ -1566,19 +1591,45 @@ class ColPlanExt:
                     iw=float(biw[gbody[gid], 0]),
                 )
 
-            pairs = [
-                dict(g1=side(a), g2=side(b)) for a, b in zip(pg1, pg2)
-            ]
             p0 = pid[0]
-            self.groups.append(dict(
+            gdesc = dict(
                 kind=(t1, t2), k=int(g.k), slots=int(g.slots),
-                pairs=pairs, condim=int(g.condim),
+                condim=int(g.condim),
                 margin=float(pmarg[p0]),
                 incl=float(pmarg[p0] - pgap[p0]),
                 solref=[float(x) for x in psref[p0]],
                 solimp=[float(x) for x in psimp[p0]],
                 fric5=[float(x) for x in pfric[p0]],
-            ))
+            )
+            if t2 == "mesh":
+                # bucketed hull tables + bucket-major pair order (shared
+                # with the plane-only mega path)
+                import os as _os
+
+                from .pallas_collision import pack_plane_mesh_buckets
+
+                if g.slots != 3:
+                    raise ValueError("plane-mesh slots != 3")
+                vcap = int(_os.environ.get("LMT_MESH_VCAP", "5632"))
+                packed = pack_plane_mesh_buckets(model, pid, vcap)
+                if packed is None:
+                    raise ValueError("mesh pack failed")
+                subs, border = packed
+                bpid = pid[border]
+                gdesc["subs"] = subs
+                gdesc["pairs"] = [
+                    dict(gid=int(g2b), body=int(gbody[g2b]),
+                         gpos=tuple(float(x) for x in gpos[g2b]),
+                         gquat=tuple(float(x) for x in gquat[g2b]),
+                         iw=float(biw[gbody[g2b], 0]))
+                    for g2b in np.asarray(model.pair_geom2)[bpid]
+                ]
+            else:
+                gdesc["pairs"] = [
+                    dict(g1=side(a), g2=side(b))
+                    for a, b in zip(pg1, pg2)
+                ]
+            self.groups.append(gdesc)
 
         # static world plane frame (when any plane group exists)
         self.plane_gid = plane_gid
@@ -1600,13 +1651,27 @@ class ColPlanExt:
 
     @property
     def n_mesh_tables(self):
-        return 0
+        return 2 * sum(
+            len(g["subs"]) for g in self.groups if g["kind"][1] == "mesh"
+        )
 
     def mesh_table_arrays(self):
-        return []
+        out = []
+        for g in self.groups:
+            if g["kind"][1] != "mesh":
+                continue
+            for ids, tbl_t, marg, D in g["subs"]:
+                tbl = np.frombuffer(tbl_t[0], np.float32).reshape(tbl_t[1])
+                out.append(jnp.asarray(tbl))
+                out.append(jnp.asarray(
+                    np.ascontiguousarray(tbl[:, 0:3].transpose(0, 2, 1))
+                ))
+        return out
 
     def pack_width(self):
-        return 29  # pos(3) frame(9) dist incl fric(5) solref(2) solimp(5) iw bid1 bid2
+        # pos(3) frame(9) dist incl fric(nfric) solref(2) solimp(5) iw
+        # bid1 bid2
+        return 24 + self.nfric
 
 
 def _geom_pose(fk, sd, cache):
@@ -1625,7 +1690,7 @@ def _geom_pose(fk, sd, cache):
     return qp, Rb
 
 
-def collide_env_block_ext(colp: ColPlanExt, fk, zero, eshape):
+def collide_env_block_ext(colp: ColPlanExt, fk, tbl_refs, zero, eshape):
     """In-kernel collision for the extended (elliptic-mega) plan.
 
     Returns (pack, gid1, gid2): pack a (ncon, 29, *E) array in the
@@ -1639,13 +1704,16 @@ def collide_env_block_ext(colp: ColPlanExt, fk, zero, eshape):
 
     slot_rows = []   # per slot: list of 29 static-or-traced scalars
     gid1_rows, gid2_rows = [], []
+    tbl_i = 0
+    body_t = {}
 
     def mt(x):
         return materialize(x, zero)
 
     def emit(g, pos, dist, frame9, gid1, gid2, iw, bid1, bid2):
         rows = [pos[0], pos[1], pos[2], *frame9, dist, g["incl"],
-                *g["fric5"], *g["solref"], *g["solimp"], iw, bid1, bid2]
+                *g["fric5"][:colp.nfric], *g["solref"], *g["solimp"],
+                iw, bid1, bid2]
         slot_rows.append([mt(r) for r in rows])
         gid1_rows.append(mt(gid1))
         gid2_rows.append(mt(gid2))
@@ -1659,6 +1727,28 @@ def collide_env_block_ext(colp: ColPlanExt, fk, zero, eshape):
         t1, t2 = g["kind"]
         pairs = g["pairs"]
         P, k = len(pairs), g["k"]
+
+        if t2 == "mesh":
+            # bucketed manifold machinery shared with the plane-only mega
+            # path; traced gid -> body/iw via one-hot sums over the
+            # group's candidate geoms
+            my_tbls = tbl_refs[tbl_i:tbl_i + 2 * len(g["subs"])]
+            tbl_i += 2 * len(g["subs"])
+            gmap = {float(pr["gid"]): pr for pr in pairs}
+            pf = _make_frame_rows(n, zero)
+            for pos, d, gidv in _mesh_group_slots(
+                dict(g, kind="mesh"), fk, my_tbls, n, pp_n, zero, eshape,
+                body_t,
+            ):
+                bid2 = zero
+                iwv = zero
+                for gf, pr in gmap.items():
+                    hit = (gidv == gf).astype(f32)
+                    bid2 = bid2 + hit * float(pr["body"])
+                    iwv = iwv + hit * pr["iw"]
+                emit(g, pos, d, pf, float(colp.plane_gid), gidv, iwv,
+                     0.0, bid2)
+            continue
 
         # ---- per-pair values (direct mode) or gather rows (top-k) ----
         def pair_vals(pr):
