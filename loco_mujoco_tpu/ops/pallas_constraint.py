@@ -2267,7 +2267,7 @@ def _mega_sublanes(plan=None):
             # path by ~8x and would wrongly demote A1 from S=8.)
             budget = int(_os.environ.get(
                 "LMT_SCOPED_VMEM_KIB", "81920"
-            )) * 1024 * 0.75  # tables + live set; Mosaic's peak runs past
+            )) * 1024 * 0.65  # tables + live set; Mosaic peak runs past
             # the estimate (G1 at S=2: 83.8M actual vs 71.5M estimated)
             while s > 1 and tbl + plan.est_bytes * s > budget:
                 s //= 2

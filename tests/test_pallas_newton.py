@@ -92,8 +92,12 @@ def test_fused_plan_row_layout_matches_make_constraint(humanoid_states):
     efc = con.make_constraint(m, d0)
     plan = pc.get_plan(m, d0.contact)
     assert plan is not None
-    assert plan.nrows == efc.J.shape[0]
-    np.testing.assert_array_equal(plan.con_efcadr, efc.con_efcadr)
+    # the fused layout inserts plan.npad inert sublane-pad rows after the
+    # eq/fl/limit block (see RowPlan.npad); the XLA layout has none
+    assert plan.nrows == efc.J.shape[0] + plan.npad
+    np.testing.assert_array_equal(
+        plan.con_efcadr, efc.con_efcadr + plan.npad
+    )
     np.testing.assert_array_equal(plan.con_dim, efc.con_dim)
     # row-class masks line up
     assert plan.ne == int(np.sum(efc.is_bilateral))
@@ -124,8 +128,10 @@ def test_fused_elliptic_matches_xla(monkeypatch):
         m, fwd.fwd_actuation(m, fwd.fwd_velocity(m, fwd.fwd_position(m, d0)))
     )
     efc = con.make_constraint(m, d1)
-    assert plan.nrows == efc.J.shape[0]
-    np.testing.assert_array_equal(plan.con_efcadr, efc.con_efcadr)
+    assert plan.nrows == efc.J.shape[0] + plan.npad
+    np.testing.assert_array_equal(
+        plan.con_efcadr, efc.con_efcadr + plan.npad
+    )
     np.testing.assert_array_equal(plan.con_dim, efc.con_dim)
 
     monkeypatch.setattr(pn, "_INTERPRET", True)
