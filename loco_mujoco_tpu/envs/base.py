@@ -144,6 +144,22 @@ class LocoEnv:
             )
         else:
             self.domain_rand = None
+        # stale-derived-fields guard: the fused step paths carry only the
+        # integrated state between substeps, so Data's derived fields
+        # (site_xmat & co.) hold start-of-step values when the observation
+        # is built. An obs spec reading them would silently observe stale
+        # data — envs with SITE_ROT entries must replace the block in
+        # _modify_observation (A1: dir-arrow -> goal features) and declare
+        # it via _replaces_site_obs.
+        if len(obs_index.site_idx) and not getattr(
+            self, "_replaces_site_obs", False
+        ):
+            raise ValueError(
+                "observation spec reads site_xmat (SITE_ROT), which is "
+                "stale on the fused step paths; override "
+                "_modify_observation to replace the block and set "
+                "_replaces_site_obs = True (see UnitreeA1)."
+            )
         self.obs_index = obs_index
         self.gamma = gamma
         self.horizon = horizon

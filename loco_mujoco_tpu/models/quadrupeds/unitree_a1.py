@@ -83,6 +83,9 @@ class UnitreeA1(LocoEnv):
     valid_task_confs = ValidTaskConf(
         tasks=["simple", "hard"], data_types=["real", "perfect"]
     )
+    # the dir-arrow SITE_ROT block never reaches the user: it is replaced
+    # by goal features in _modify_observation (stale-fields guard opt-in)
+    _replaces_site_obs = True
 
     def __init__(
         self,

@@ -84,3 +84,22 @@ def test_4ages_fixed_scaling_mask_covers_bits():
     assert m[-env._env_id_len :].all()  # constant-id bits stay visible
     with pytest.raises(ValueError):
         env.get_mask(("env_type",))
+
+
+def test_site_rot_obs_requires_replacement_declaration():
+    """Stale-derived-fields guard: an obs spec reading site_xmat must be
+    paired with a _modify_observation replacement (the fused step paths
+    leave derived Data fields stale between control steps)."""
+    from loco_mujoco_tpu.envs.base import LocoEnv
+    from loco_mujoco_tpu.envs.observation import ObsIndex, ObservationType
+
+    a1 = lmt.make("UnitreeA1.simple.real", debug=True)
+    assert a1._replaces_site_obs  # the opt-in the guard checks
+
+    class BadEnv(LocoEnv):
+        pass
+
+    spec = [("dir_arrow", "dir_arrow", ObservationType.SITE_ROT)]
+    obs_index = ObsIndex(a1.model, spec)
+    with pytest.raises(ValueError, match="SITE_ROT"):
+        BadEnv(model=a1.model, obs_index=obs_index)
