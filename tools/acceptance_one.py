@@ -396,7 +396,11 @@ def run_grf(task: str, steps: int = 50, seed: int = 11) -> int:
 
     window = np.zeros((env.grf_window, env.grf_size))
     rng = np.random.default_rng(seed)
-    kin = env.obs_index.size - 2
+    # the GRF window is the trailing obs block for every swept task (the
+    # 4Ages/carry extras that follow it are not in the GRF task list);
+    # obs_index.size - 2 is wrong for A1, whose _modify_observation
+    # replaces the 9-dim rotmat block with 3 goal features
+    kin = env.obs_dim - env.grf_size
     max_g = 0.0
     truncs = 0
     i = 0
