@@ -30,6 +30,10 @@ import jax.numpy as jnp
 N_ENVS = int(os.environ.get("BENCH_N_ENVS", 4096))
 N_STEPS = int(os.environ.get("BENCH_N_STEPS", 50))
 TASK = os.environ.get("BENCH_TASK", "HumanoidTorque.run.real")
+# Optional domain-randomization YAML: measures the DR-enabled step (DR of
+# constraint-relevant leaves gates off parts of the in-kernel fast path —
+# this knob makes that cost visible instead of silent).
+DR_CONFIG = os.environ.get("BENCH_DR") or None
 
 
 def log(msg):
@@ -41,9 +45,12 @@ def main():
     from loco_mujoco_tpu.utils.tpu import tpu_compiler_options
 
     t0 = time.time()
-    env = lmt.make(TASK, debug=True)
-    log(f"bench: make({TASK}) {time.time() - t0:.1f}s; "
-        f"devices {jax.devices()}")
+    kwargs = {}
+    if DR_CONFIG:
+        kwargs["domain_randomization_config"] = DR_CONFIG
+    env = lmt.make(TASK, debug=True, **kwargs)
+    log(f"bench: make({TASK}{', DR' if DR_CONFIG else ''}) "
+        f"{time.time() - t0:.1f}s; devices {jax.devices()}")
 
     copts = tpu_compiler_options()
     step_fn = jax.jit(env.step_batch, compiler_options=copts)
