@@ -48,15 +48,40 @@ _EPS = 1e-12
 _BIG = 1e10
 
 
+def _tols(dtype):
+    """Dtype-scaled convergence tolerances.
+
+    The f64 values are the proven-stable constants; in lower precision
+    they sit below representable resolution, so each is floored by a
+    multiple of the dtype eps (f32 production runs would otherwise
+    never trigger the overlap/EPA branches).
+    """
+    eps = float(jnp.finfo(dtype).eps)
+    return dict(
+        overlap=max(1e-16, (100 * eps) ** 2),  # |v|^2: origin reached
+        prog=max(1e-10, 30 * eps),             # GJK relative progress
+        epa_rel=max(1e-6, 200 * eps),          # EPA relative improvement
+        epa_abs=max(1e-9, 10 * eps),           # EPA absolute improvement
+    )
+
+
 # ---------------------------------------------------------------------------
 # support maps (local frame); a geom is (verts, vertmask, radius, kind)
 # ---------------------------------------------------------------------------
 # kind 0: vertex cloud (mesh hull, box corners, capsule segment, sphere
 #         center) — support = masked argmax over verts
-# kind 1: cylinder (verts[0] = (radius, half_height, 0)) — analytic disc-rim
-#         support, matching mjc_Convex's cylinder support function
+# kind 1: cylinder (verts[0] = (radius, half_height, 0)) — rim support
+#         snapped to CYL_SEGS discrete angles, i.e. the support map of
+#         the inscribed CYL_SEGS-gon prism. A smooth analytic rim makes
+#         EPA non-convergent: every polytope expansion yields a fresh
+#         near-duplicate rim vertex whose sliver faces corrupt the depth
+#         readout (MuJoCo's convex pipeline likewise polygonalizes).
+#         Depth error vs the smooth cylinder is r*(1-cos(pi/CYL_SEGS))
+#         ~ 5e-4*r, far inside solver-impact tolerance.
 KIND_VERTS = 0
 KIND_CYLINDER = 1
+CYL_SEGS = 96
+_CYL_STEP = 2.0 * np.pi / CYL_SEGS
 
 
 def support_local(d, verts, vertmask, kind):
@@ -65,7 +90,9 @@ def support_local(d, verts, vertmask, kind):
         r, h = verts[0, 0], verts[0, 1]
         dxy = d[:2]
         n = jnp.sqrt(jnp.sum(dxy * dxy))
-        xy = jnp.where(n > _EPS, dxy / jnp.maximum(n, _EPS) * r, 0.0)
+        theta = jnp.round(jnp.arctan2(d[1], d[0]) / _CYL_STEP) * _CYL_STEP
+        rim = r * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        xy = jnp.where(n > _EPS, rim, 0.0)
         z = jnp.where(d[2] >= 0, h, -h)
         return jnp.concatenate([xy, z[None]])
     dots = verts @ d
@@ -180,13 +207,26 @@ def _closest_simplex(W, k):
     lam_out = lams[jnp.argmin(dists)]
     # inside: barycentrics of the ORIGIN (so v = lam @ W = 0 and the
     # caller's overlap test fires); singular tetra falls back to the
-    # face solution
-    Msys = jnp.concatenate([W.T, jnp.ones((1, 4), W.dtype)], axis=0)
-    rhs = jnp.array([0.0, 0.0, 0.0, 1.0], W.dtype)
-    detM = jnp.linalg.det(Msys)
-    lam_in = jnp.linalg.solve(
-        jnp.where(jnp.abs(detM) > _EPS, Msys, jnp.eye(4, dtype=W.dtype)),
-        rhs,
+    # face solution. Solved in closed form by Cramer's rule on the 4x4
+    # system [W.T; 1] lam = [0; 1] — the cofactor of each lam_i against
+    # the rhs (0,0,0,1) is the signed volume of the opposite face's
+    # tetra with the origin, so lam_i = vol_i / vol_total. Pure
+    # arithmetic: jit/TPU-safe in any dtype (jnp.linalg.det/solve lower
+    # to LuDecomposition, which the TPU backend rejects for f64).
+    def vol3(p, q, r):
+        return jnp.dot(p, jnp.cross(q, r))
+
+    # Replacing column i of [[a b c d],[1 1 1 1]] with the rhs and
+    # expanding along that column gives cofactor c_i (scalar triple
+    # products of the other three vertices, alternating sign); the
+    # denominator is their sum.
+    c0 = -vol3(b, c, d)
+    c1 = vol3(a, c, d)
+    c2 = -vol3(a, b, d)
+    c3 = vol3(a, b, c)
+    detM = c0 + c1 + c2 + c3
+    lam_in = jnp.stack([c0, c1, c2, c3]) / jnp.where(
+        jnp.abs(detM) > _EPS, detM, 1.0
     )
     ok_in = (jnp.abs(detM) > _EPS) & jnp.all(jnp.isfinite(lam_in))
     lam = jnp.where(inside & ok_in, lam_in, lam_out)
@@ -211,6 +251,7 @@ def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
     (witness points), W/A/B/k (terminal simplex for EPA), overlap (bool).
     """
     d0 = jnp.array([1.0, 0.0, 0.0], dtype) if d0 is None else d0
+    tol = _tols(dtype)
 
     def sup(d):
         a = support_a(d)
@@ -235,7 +276,7 @@ def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
             w_new, a_new, b_new = sup(d)
             # no progress: support does not get past v -> converged
             prog = jnp.dot(v, v) - jnp.dot(w_new, v)
-            stop = prog <= 1e-10 * jnp.maximum(jnp.dot(v, v), 1.0)
+            stop = prog <= tol["prog"] * jnp.maximum(jnp.dot(v, v), 1.0)
             kidx = jnp.clip(k, 0, 3)
             W2 = W.at[kidx].set(w_new)
             A2 = A.at[kidx].set(a_new)
@@ -256,7 +297,7 @@ def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
             )
             Wc, Ac, Bc, lamc, kc = _compact(W2, A2, B2, lam_n, keep_n)
             v_new = lamc @ Wc
-            ov = jnp.dot(v_new, v_new) < 1e-16
+            ov = jnp.dot(v_new, v_new) < tol["overlap"]
             return (
                 Wc, Ac, Bc, lamc, kc.astype(jnp.int32), v_new,
                 stop | ov, overlap | ov,
@@ -286,13 +327,23 @@ def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
 def _face_geom(V, tri):
     """Normal (outward-ish, origin-side corrected) + distance of face."""
     a, b, c = V[tri[0]], V[tri[1]], V[tri[2]]
-    n = jnp.cross(b - a, c - a)
-    nn = jnp.sqrt(jnp.maximum(jnp.dot(n, n), _EPS))
+    e1 = b - a
+    e2 = c - a
+    n = jnp.cross(e1, e2)
+    nn2 = jnp.dot(n, n)
+    nn = jnp.sqrt(jnp.maximum(nn2, _EPS))
     n = n / nn
     d = jnp.dot(n, a)
     # orient away from origin (polytope contains origin)
     flip = d < 0
-    return jnp.where(flip, -n, n), jnp.abs(d), nn > 1e-10
+    # degeneracy is RELATIVE: |e1 x e2| vs |e1||e2| (sin of the edge
+    # angle). Smooth supports (cylinder rims) emit near-collinear
+    # vertex triples whose sliver faces have unreliable normals and
+    # near-zero d — an absolute floor lets them survive and the final
+    # argmin then reads a bogus near-zero depth off one of them.
+    ee = jnp.dot(e1, e1) * jnp.dot(e2, e2)
+    ok = nn2 > 1e-12 * jnp.maximum(ee, _EPS)
+    return jnp.where(flip, -n, n), jnp.abs(d), ok
 
 
 def epa(support_a, support_b, g, dtype=jnp.float64):
@@ -302,6 +353,8 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
     masked face liveness; horizon rebuilt by edge parity (an edge shared
     by exactly one visible face is on the horizon).
     """
+
+    tol = _tols(dtype)
 
     def sup(d):
         a = support_a(d)
@@ -372,9 +425,17 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
             n = N[fi]
             w, a, b = sup(n)
             improve = jnp.dot(n, w) - D[fi]
-            stop = (improve < 1e-9) | (nvert >= EPA_VERTS) | (
-                nface > EPA_FACES - 2 * 3
-            )
+            # the improvement bound must be RELATIVE to the current
+            # depth: smooth supports (cylinder rims) keep yielding
+            # ~1e-9-improvement vertices that are near-duplicates of
+            # existing polytope vertices, and expanding with them
+            # spawns sliver faces whose tiny bogus distance the final
+            # argmin then reads as the depth. improve upper-bounds the
+            # remaining depth error, so rel 1e-6 is far inside the
+            # oracle-parity tolerance.
+            stop = (
+                improve < jnp.maximum(tol["epa_abs"], tol["epa_rel"] * D[fi])
+            ) | (nvert >= EPA_VERTS) | (nface > EPA_FACES - 2 * 3)
 
             # visible faces from w (strictly): n_f . w > d_f
             vis = alive & (jnp.sum(N * w[None], axis=1) > D + 1e-12)
@@ -453,6 +514,15 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
     lam, _, _ = _closest_simplex(Wf, 3)
     pa = lam[0] * VA[tri[0]] + lam[1] * VA[tri[1]] + lam[2] * VA[tri[2]]
     pb = lam[0] * VB[tri[0]] + lam[1] * VB[tri[1]] + lam[2] * VB[tri[2]]
+    # every-face-degenerate fallback (flat/point Minkowski difference,
+    # e.g. coincident sphere centers): D is all _BIG, which would read
+    # out as depth 1e10 and inject a catastrophic contact force. Fall
+    # back to a bounded zero-depth contact at the GJK witness instead.
+    bad = depth > 0.5 * _BIG
+    depth = jnp.where(bad, 0.0, depth)
+    n = jnp.where(bad, jnp.array([0.0, 0.0, 1.0], dtype), n)
+    pa = jnp.where(bad, g["pa"], pa)
+    pb = jnp.where(bad, g["pb"], pb)
     return depth, n, pa, pb
 
 

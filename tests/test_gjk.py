@@ -166,6 +166,50 @@ def test_convex_contact_vs_oracle(t1, t2):
     assert np.median(perr) < 5e-3, f"{t1}-{t2} pos med {np.median(perr):.2e}"
 
 
+@pytest.mark.parametrize("t1,t2", [("mesh", "mesh"), ("cylinder", "mesh")])
+def test_convex_contact_f32(t1, t2):
+    """Production-dtype leg: tolerances are dtype-scaled (ops/gjk._tols),
+    so the overlap/EPA branches must still trigger in f32."""
+    m = _model(t1, t2)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(7)
+    fn = jax.jit(gjk.convex_contact, static_argnums=(3, 9))
+    derr, ndot = [], []
+    for _ in range(40):
+        d.qpos[:3] = 0.0
+        d.qpos[3:7] = _rand_quat(rng)
+        d.qpos[7:10] = rng.uniform(-0.08, 0.08, 3)
+        d.qpos[10:14] = _rand_quat(rng)
+        mujoco.mj_forward(m, d)
+        if d.ncon == 0:
+            continue
+        c = d.contact[0]
+        g1, g2 = int(c.geom1), int(c.geom2)
+        a1 = _geom_args(m, g1, np.float32)
+        a2 = _geom_args(m, g2, np.float32)
+        f32 = np.float32
+        dist, pos, normal = fn(
+            jnp.asarray(a1[0]), jnp.asarray(a1[1]), a1[2], a1[3],
+            jnp.asarray(d.geom_xpos[g1], f32),
+            jnp.asarray(d.geom_xmat[g1].reshape(3, 3), f32),
+            jnp.asarray(a2[0]), jnp.asarray(a2[1]), a2[2], a2[3],
+            jnp.asarray(d.geom_xpos[g2], f32),
+            jnp.asarray(d.geom_xmat[g2].reshape(3, 3), f32),
+        )
+        assert np.asarray(dist).dtype == np.float32
+        derr.append(abs(float(c.dist) - float(dist)))
+        ndot.append(float(np.dot(c.frame[:3], np.asarray(normal))))
+    assert len(derr) >= 10
+    derr = np.array(derr)
+    # f32 bar: penetrating pairs must still resolve (no stalled-GJK
+    # zero depths) at f32-resolution accuracy
+    assert np.quantile(derr, 0.9) < 5e-3, (
+        f"f32 {t1}-{t2} q90 {np.quantile(derr, 0.9):.2e}"
+    )
+    assert np.median(derr) < 5e-4
+    assert np.quantile(np.array(ndot), 0.1) > 0.95
+
+
 def test_separated_distance_exact():
     """Non-touching mesh-mesh: GJK witness distance vs mj_geomDistance."""
     m = _model("mesh", "mesh")
