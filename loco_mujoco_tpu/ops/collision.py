@@ -48,6 +48,33 @@ SLOTS = {
     (_CAPSULE, _CAPSULE): 2,
 }
 
+# convex-convex pairs handled by the GJK/EPA narrowphase (ops/gjk.py),
+# one contact per pair — matching MuJoCo's mjc_Convex single-contact
+# emission (the reference inherits these pairs from mj_step, reference
+# environments/base.py:180; they activate in falls/self-collision, not
+# in gait). These groups sort AFTER every classic group so the Pallas
+# mega/ext plans can censor them by tail truncation without shifting
+# the classic slot offsets (see classic_ncon).
+CONVEX_SLOTS = {
+    (_SPHERE, _CYLINDER): 1,
+    (_SPHERE, _MESH): 1,
+    (_CAPSULE, _CYLINDER): 1,
+    (_CAPSULE, _BOX): 1,
+    (_CAPSULE, _MESH): 1,
+    (_CYLINDER, _CYLINDER): 1,
+    (_CYLINDER, _BOX): 1,
+    (_CYLINDER, _MESH): 1,
+    (_BOX, _BOX): 1,
+    (_BOX, _MESH): 1,
+    (_MESH, _MESH): 1,
+}
+
+
+def _convex_pairs_enabled() -> bool:
+    import os
+
+    return os.environ.get("LMT_CONVEX_PAIRS", "1") != "0"
+
 # default top-K pair budgets per group. Plane groups (ground contact) get a
 # bigger budget than self-collision groups; both are correctness-safe as
 # long as the number of *simultaneously near-touching* pairs in a group
@@ -64,12 +91,14 @@ class Group(NamedTuple):
     k: int
     slots: int
     offset: int  # first contact slot of this group
+    convex: bool = False  # GJK/EPA group (tail of the slot layout)
 
 
 _GROUP_CACHE: dict = {}
 
 
 def contact_groups(model: Model):
+    convex_on = _convex_pairs_enabled()
     key = (
         model.pair_geom1.tobytes(),
         model.pair_geom2.tobytes(),
@@ -77,21 +106,27 @@ def contact_groups(model: Model):
         model.geom_type.tobytes(),
         model.contact_k_plane,
         model.contact_k_other,
+        convex_on,
     )
     hit = _GROUP_CACHE.get(key)
     if hit is not None:
         return hit
 
     by_key: dict = {}
+    conv_key: dict = {}
     skipped: dict = {}
     for i in range(len(model.pair_geom1)):
         t1 = int(model.geom_type[model.pair_geom1[i]])
         t2 = int(model.geom_type[model.pair_geom2[i]])
         condim = int(model.pair_condim[i])
-        if (t1, t2) not in SLOTS:
+        if (t1, t2) in SLOTS:
+            by_key.setdefault((t1, t2, condim), []).append(i)
+        elif convex_on and (
+            (t1, t2) in CONVEX_SLOTS or (t2, t1) in CONVEX_SLOTS
+        ):
+            conv_key.setdefault((t1, t2, condim), []).append(i)
+        else:
             skipped[(t1, t2)] = skipped.get((t1, t2), 0) + 1
-            continue
-        by_key.setdefault((t1, t2, condim), []).append(i)
 
     groups = []
     offset = 0
@@ -105,6 +140,11 @@ def contact_groups(model: Model):
         slots = SLOTS[(t1, t2)]
         groups.append(Group(t1, t2, condim, ids, k, slots, offset))
         offset += k * slots
+    for (t1, t2, condim), ids in sorted(conv_key.items()):
+        ids = np.asarray(ids, dtype=np.int32)
+        k = min(model.contact_k_other, len(ids))
+        groups.append(Group(t1, t2, condim, ids, k, 1, offset, convex=True))
+        offset += k
     result = (groups, offset, skipped)
     _GROUP_CACHE[key] = result
     return result
@@ -112,6 +152,22 @@ def contact_groups(model: Model):
 
 def ncon_max(model: Model) -> int:
     _, total, _ = contact_groups(model)
+    return total
+
+
+def classic_ncon(model: Model) -> int:
+    """Contact capacity of the CLASSIC (analytic-narrowphase) groups only.
+
+    Convex GJK/EPA groups occupy the slot-layout tail, so the Pallas
+    mega/ext plans — which keep collision in-kernel and do not implement
+    the convex narrowphase — size themselves to this prefix and leave
+    the tail to the staged (CPU/f64 parity) driver. Slot offsets of the
+    classic groups are identical between both views.
+    """
+    groups, total, _ = contact_groups(model)
+    for g in groups:
+        if g.convex:
+            return g.offset
     return total
 
 
@@ -703,6 +759,78 @@ _NARROW = {
 
 
 # --------------------------------------------------------------------------
+# convex-convex narrowphase (GJK/EPA)
+# --------------------------------------------------------------------------
+
+
+def _convex_side(model: Model, t: int, gid, dtype):
+    """(verts (k,V,3), mask (k,V), radius (k,), kind) for one geom column
+    of a convex group. `gid` is a traced (k,) geom-id vector; vertex
+    tables are built from traced-safe gathers (geom_size may be
+    domain-randomized; mesh vertices are static model leaves)."""
+    from . import gjk as _gjk
+
+    k = gid.shape[0]
+    size = jnp.asarray(model.geom_size, dtype=dtype)[gid]  # (k, 3)
+    zero = jnp.zeros((k,), dtype)
+    if t == _MESH:
+        mesh_ids = jnp.asarray(
+            np.maximum(np.asarray(model.geom_meshid), 0)
+        )[gid]
+        verts = jnp.asarray(model.mesh_vert, dtype=dtype)[mesh_ids]
+        mask = jnp.asarray(model.mesh_vertmask)[mesh_ids].astype(bool)
+        return verts, mask, zero, _gjk.KIND_VERTS
+    if t == _BOX:
+        signs = jnp.asarray(
+            [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1)
+             for sz in (-1, 1)], dtype,
+        )  # (8, 3)
+        verts = signs[None, :, :] * size[:, None, :]
+        return verts, jnp.ones((k, 8), bool), zero, _gjk.KIND_VERTS
+    if t == _CAPSULE:
+        h = size[:, 1]
+        seg = jnp.stack([-h, h], axis=1)  # (k, 2)
+        verts = jnp.concatenate(
+            [jnp.zeros((k, 2, 2), dtype), seg[:, :, None]], axis=-1
+        )
+        return verts, jnp.ones((k, 2), bool), size[:, 0], _gjk.KIND_VERTS
+    if t == _SPHERE:
+        verts = jnp.zeros((k, 1, 3), dtype)
+        return verts, jnp.ones((k, 1), bool), size[:, 0], _gjk.KIND_VERTS
+    if t == _CYLINDER:
+        verts = jnp.concatenate(
+            [size[:, :2], jnp.zeros((k, 1), dtype)], axis=-1
+        )[:, None, :]  # (k, 1, 3) = (radius, half_height, 0)
+        return verts, jnp.ones((k, 1), bool), zero, _gjk.KIND_CYLINDER
+    raise NotImplementedError(f"convex side type {t}")
+
+
+def _convex_narrow(model: Model, g: Group, sg1, sg2, data: Data):
+    """GJK/EPA narrowphase for one convex group's k selected pairs.
+    Returns (dist (k,1), pos (k,1,3), frame (k,1,3,3))."""
+    from . import gjk as _gjk
+
+    dtype = data.qpos.dtype
+    gxp, gxm = data.geom_xpos, data.geom_xmat
+    v1, m1, r1, k1 = _convex_side(model, g.t1, sg1, dtype)
+    v2, m2, r2, k2 = _convex_side(model, g.t2, sg2, dtype)
+
+    def one(v1_, m1_, r1_, p1_, R1_, v2_, m2_, r2_, p2_, R2_):
+        return _gjk.convex_contact(
+            v1_, m1_, r1_, k1, p1_, R1_, v2_, m2_, r2_, k2, p2_, R2_,
+            gjk_iters=_gjk.ENGINE_GJK_ITERS,
+            epa_iters=_gjk.ENGINE_EPA_ITERS,
+            epa_faces=_gjk.ENGINE_EPA_FACES,
+            cyl_segs=_gjk.ENGINE_CYL_SEGS,
+        )
+
+    d, p, n = jax.vmap(one)(
+        v1, m1, r1, gxp[sg1], gxm[sg1], v2, m2, r2, gxp[sg2], gxm[sg2]
+    )
+    return d[:, None], p[:, None], make_frame(n)[:, None]
+
+
+# --------------------------------------------------------------------------
 # driver
 # --------------------------------------------------------------------------
 
@@ -818,9 +946,24 @@ def collision(model: Model, data: Data) -> Data:
         s2 = model.geom_size[sg2]
         margin = model.pair_margin[sel_p]
 
-        extra = None
-        fn = _NARROW[(g.t1, g.t2)]
-        d, p, f = fn(pp, pR, s1, qp, qR, s2, extra)  # (k, s, ...)
+        if g.convex and dtype != jnp.float64:
+            # f32 = the Pallas-accelerated production dtype: the mega/ext
+            # plans censor convex slots (RowPlan), so the staged driver
+            # emits them inactive too — identical contact sets on every
+            # f32 stage, zero narrowphase cost. The f64 parity path (CPU
+            # oracle acceptance) computes them fully.
+            ks = g.k * g.slots
+            d = jnp.full((g.k, g.slots), 1e10, dtype)
+            p = jnp.zeros((g.k, g.slots, 3), dtype)
+            f = jnp.broadcast_to(
+                jnp.eye(3, dtype=dtype), (g.k, g.slots, 3, 3)
+            )
+        elif g.convex:
+            d, p, f = _convex_narrow(model, g, sg1, sg2, data)
+        else:
+            extra = None
+            fn = _NARROW[(g.t1, g.t2)]
+            d, p, f = fn(pp, pR, s1, qp, qR, s2, extra)  # (k, s, ...)
 
         ks = g.k * g.slots
         dists.append(d.reshape(ks))

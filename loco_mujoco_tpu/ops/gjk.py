@@ -44,6 +44,18 @@ GJK_ITERS = 48
 EPA_ITERS = 48
 EPA_VERTS = 5 + EPA_ITERS
 EPA_FACES = 128
+# engine budgets (ops/collision._convex_narrow, f64 parity path only —
+# the f32 Pallas path censors convex slots). EPA cost scales ~
+# iters * faces^2 (horizon edge parity); (32, 32, 96) measures
+# IDENTICAL normal/depth quality to the full (48, 48, 128) budgets on
+# the H1 arm-cylinder/torso-mesh regression frames (nangle max 1.2e-4,
+# depth err 1.4e-9 vs the ccd-converged oracle) at 2.3x less cost.
+# Smaller face budgets (64) leave rare catastrophic outliers: EPA stops
+# on the face cap before the smooth-surface polytope localizes the
+# normal.
+ENGINE_GJK_ITERS = 32
+ENGINE_EPA_ITERS = 32
+ENGINE_EPA_FACES = 96
 _EPS = 1e-12
 _BIG = 1e10
 
@@ -81,17 +93,29 @@ def _tols(dtype):
 KIND_VERTS = 0
 KIND_CYLINDER = 1
 CYL_SEGS = 96
-_CYL_STEP = 2.0 * np.pi / CYL_SEGS
+# engine snap: effectively smooth (depth bias r*(1-cos(pi/segs)) ~ 7e-8*r,
+# below oracle-parity resolution). Shallow in-engine penetrations terminate
+# EPA after 1-3 expansions via the relative stop, so the sliver risk that
+# motivates the coarse test-fixture snap never materializes there.
+ENGINE_CYL_SEGS = 8192
 
 
-def support_local(d, verts, vertmask, kind):
-    """Support point of the core shape for direction d (local frame)."""
+def support_local(d, verts, vertmask, kind, cyl_segs=CYL_SEGS):
+    """Support point of the core shape for direction d (local frame).
+
+    cyl_segs=None gives the ANALYTIC smooth cylinder rim (safe only
+    outside EPA's polytope machinery — used by the post-EPA normal
+    refinement, which merely evaluates supports)."""
     if kind == KIND_CYLINDER:
         r, h = verts[0, 0], verts[0, 1]
         dxy = d[:2]
         n = jnp.sqrt(jnp.sum(dxy * dxy))
-        theta = jnp.round(jnp.arctan2(d[1], d[0]) / _CYL_STEP) * _CYL_STEP
-        rim = r * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
+        if cyl_segs is None:
+            rim = dxy / jnp.maximum(n, _EPS) * r
+        else:
+            step = 2.0 * np.pi / cyl_segs
+            theta = jnp.round(jnp.arctan2(d[1], d[0]) / step) * step
+            rim = r * jnp.stack([jnp.cos(theta), jnp.sin(theta)])
         xy = jnp.where(n > _EPS, rim, 0.0)
         z = jnp.where(d[2] >= 0, h, -h)
         return jnp.concatenate([xy, z[None]])
@@ -101,12 +125,14 @@ def support_local(d, verts, vertmask, kind):
     return verts[i]
 
 
-def make_world_support(verts, vertmask, kind, pos, mat):
+def make_world_support(verts, vertmask, kind, pos, mat, cyl_segs=CYL_SEGS):
     """World-frame support map s(d) for one geom."""
 
     def s(d):
         dl = mat.T @ d
-        return pos + mat @ support_local(dl, verts, vertmask, kind)
+        return pos + mat @ support_local(
+            dl, verts, vertmask, kind, cyl_segs=cyl_segs
+        )
 
     return s
 
@@ -244,7 +270,7 @@ def _compact(W, A, B, lam, keep):
 # ---------------------------------------------------------------------------
 # GJK
 # ---------------------------------------------------------------------------
-def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
+def gjk(support_a, support_b, d0=None, dtype=jnp.float64, iters=GJK_ITERS):
     """GJK on the Minkowski difference A - B.
 
     Returns dict with: dist (core distance, 0 when overlapping), pa, pb
@@ -310,7 +336,7 @@ def gjk(support_a, support_b, d0=None, dtype=jnp.float64):
         )
 
     W, A, B, lam, k, v, done, overlap = jax.lax.fori_loop(
-        0, GJK_ITERS, body, (W, A, B, lam, k, v, done, overlap)
+        0, iters, body, (W, A, B, lam, k, v, done, overlap)
     )
     pa = lam @ A
     pb = lam @ B
@@ -331,7 +357,13 @@ def _face_geom(V, tri):
     e2 = c - a
     n = jnp.cross(e1, e2)
     nn2 = jnp.dot(n, n)
-    nn = jnp.sqrt(jnp.maximum(nn2, _EPS))
+    # normalize HONESTLY (clamp only at true zero): the old
+    # max(nn2, 1e-12) clamp left thin faces with sub-unit normals,
+    # which SCALES DOWN their plane distance d = n.a — the final
+    # argmin then preferred them, and improve = n.w - d was
+    # self-consistently ~0 at the fake minimum (observed as a 2x depth
+    # underestimate with a 0.127-norm normal on the H1 arm contact)
+    nn = jnp.sqrt(jnp.maximum(nn2, jnp.finfo(a.dtype).tiny))
     n = n / nn
     d = jnp.dot(n, a)
     # orient away from origin (polytope contains origin)
@@ -341,12 +373,17 @@ def _face_geom(V, tri):
     # vertex triples whose sliver faces have unreliable normals and
     # near-zero d — an absolute floor lets them survive and the final
     # argmin then reads a bogus near-zero depth off one of them.
+    # Threshold sin > 1e-4: a sliver at sin ~ 1e-6 was observed winning
+    # the final argmin with a 0.127-norm "normal" on the H1
+    # arm-cylinder contact; faces this thin never carry the true
+    # closest feature of a converged polytope.
     ee = jnp.dot(e1, e1) * jnp.dot(e2, e2)
-    ok = nn2 > 1e-12 * jnp.maximum(ee, _EPS)
+    ok = nn2 > 1e-8 * jnp.maximum(ee, _EPS)
     return jnp.where(flip, -n, n), jnp.abs(d), ok
 
 
-def epa(support_a, support_b, g, dtype=jnp.float64):
+def epa(support_a, support_b, g, dtype=jnp.float64, iters=EPA_ITERS,
+        faces=EPA_FACES):
     """EPA from a terminal GJK state g (overlap case).
 
     Returns (depth, normal a->b, pa, pb). Fixed-capacity polytope with
@@ -355,6 +392,7 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
     """
 
     tol = _tols(dtype)
+    nverts = 5 + iters
 
     def sup(d):
         a = support_a(d)
@@ -362,9 +400,9 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
         return a - b, a, b
 
     # --- seed tetrahedron: expand the GJK simplex if degenerate ---------
-    V = jnp.zeros((EPA_VERTS, 3), dtype)
-    VA = jnp.zeros((EPA_VERTS, 3), dtype)
-    VB = jnp.zeros((EPA_VERTS, 3), dtype)
+    V = jnp.zeros((nverts, 3), dtype)
+    VA = jnp.zeros((nverts, 3), dtype)
+    VB = jnp.zeros((nverts, 3), dtype)
     V = V.at[:4].set(g["W"])
     VA = VA.at[:4].set(g["A"])
     VB = VB.at[:4].set(g["B"])
@@ -404,11 +442,11 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
     VA = jnp.where(swap, VA.at[1].set(VA[2]).at[2].set(VA[1]), VA)
     VB = jnp.where(swap, VB.at[1].set(VB[2]).at[2].set(VB[1]), VB)
 
-    F = jnp.zeros((EPA_FACES, 3), jnp.int32)
+    F = jnp.zeros((faces, 3), jnp.int32)
     F = F.at[:4].set(
         jnp.array([[0, 1, 2], [0, 3, 1], [0, 2, 3], [1, 3, 2]], jnp.int32)
     )
-    alive = jnp.zeros(EPA_FACES, bool).at[:4].set(True)
+    alive = jnp.zeros(faces, bool).at[:4].set(True)
     nface = jnp.array(4, jnp.int32)
 
     def face_vals(V, F, alive):
@@ -435,7 +473,7 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
             # oracle-parity tolerance.
             stop = (
                 improve < jnp.maximum(tol["epa_abs"], tol["epa_rel"] * D[fi])
-            ) | (nvert >= EPA_VERTS) | (nface > EPA_FACES - 2 * 3)
+            ) | (nvert >= nverts) | (nface > faces - 2 * 3)
 
             # visible faces from w (strictly): n_f . w > d_f
             vis = alive & (jnp.sum(N * w[None], axis=1) > D + 1e-12)
@@ -449,8 +487,8 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
             e2 = jnp.stack([F[:, 2], F[:, 0]], 1)
             E = jnp.concatenate([e0, e1, e2], 0)  # (3M, 2)
             evis = jnp.concatenate([vis, vis, vis], 0)
-            code = E[:, 0] * EPA_VERTS + E[:, 1]
-            rcode = E[:, 1] * EPA_VERTS + E[:, 0]
+            code = E[:, 0] * nverts + E[:, 1]
+            rcode = E[:, 1] * nverts + E[:, 0]
             # is the reversed edge present among visible edges?
             has_rev = jnp.any(
                 (code[None, :] == rcode[:, None]) & evis[None, :], axis=1
@@ -458,31 +496,36 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
             horizon = evis & ~has_rev  # (3M,)
 
             # add vertex
-            vi = jnp.clip(nvert, 0, EPA_VERTS - 1)
+            vi = jnp.clip(nvert, 0, nverts - 1)
             V2 = V.at[vi].set(w)
             VA2 = VA.at[vi].set(a)
             VB2 = VB.at[vi].set(b)
 
-            # kill visible faces; append one new face per horizon edge
+            # kill visible faces; append one new face per horizon edge.
+            # Vectorized rank-matching replaces the old sequential
+            # first-dead-slot scan (identical placement: the r-th horizon
+            # edge lands in the r-th dead slot, same capacity guard).
             alive2 = alive & ~vis
-            # static scan over the 3M potential horizon edges, appending
-            # into dead face slots
-            def add_edge(i, st2):
-                F2, alive3, nf = st2
-                use = horizon[i] & (nf < EPA_FACES)
-                slot = jnp.argmin(alive3)  # first dead slot
-                tri = jnp.array([E[i, 0], E[i, 1], 0], jnp.int32).at[2].set(
-                    vi
-                )
-                F2 = F2.at[slot].set(jnp.where(use, tri, F2[slot]))
-                alive3 = alive3.at[slot].set(
-                    jnp.where(use, True, alive3[slot])
-                )
-                return F2, alive3, nf + use.astype(jnp.int32)
-
-            F2, alive2, nface2 = jax.lax.fori_loop(
-                0, 3 * EPA_FACES, add_edge, (F, alive2, nface)
+            erank = jnp.cumsum(horizon.astype(jnp.int32)) * horizon
+            use = horizon & (nface + erank - 1 < faces)
+            dead = ~alive2
+            drank = jnp.cumsum(dead.astype(jnp.int32)) * dead
+            # (3M, M) one-hot: edge i -> slot j when ranks match
+            M = use[:, None] & dead[None, :] & (
+                erank[:, None] == drank[None, :]
             )
+            placed = jnp.any(M, axis=1)  # (3M,) edge got a slot
+            taken = jnp.any(M, axis=0)  # (M,) slot filled
+            tri_new = jnp.stack(
+                [E[:, 0], E[:, 1], jnp.full((3 * faces,), 0, jnp.int32)],
+                axis=1,
+            ).at[:, 2].set(vi)  # (3M, 3)
+            Fnew = M.astype(jnp.int32).T @ tri_new  # (M, 3) one-hot pick
+            F2 = jnp.where(taken[:, None], Fnew, F)
+            alive2 = alive2 | taken
+            nface2 = nface + jnp.sum(
+                (placed & use).astype(jnp.int32)
+            ).astype(jnp.int32)
             # on the convergence iteration, keep the polytope UNCHANGED:
             # the new vertex is coplanar with the min face, and expanding
             # with it spawns sliver faces with d ~ 0 that the final
@@ -500,7 +543,7 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
         )
 
     V, VA, VB, F, alive, nvert, nface, _ = jax.lax.fori_loop(
-        0, EPA_ITERS, body,
+        0, iters, body,
         (V, VA, VB, F, alive, nvert, nface, jnp.array(False)),
     )
 
@@ -527,11 +570,128 @@ def epa(support_a, support_b, g, dtype=jnp.float64):
 
 
 # ---------------------------------------------------------------------------
+# post-EPA normal refinement
+# ---------------------------------------------------------------------------
+_REFINE_STEPS = (1e-2, 3e-3, 1e-3, 3e-4, 1e-4, 3e-5, 1e-5)
+
+
+def _refine_normal(sup, n0, d0, dtype, rounds=8):
+    """Polish the penetration direction on SMOOTH feature contacts.
+
+    h(n) = n . (supA(n) - supB(-n)) upper-bounds the penetration depth
+    for every unit n, with equality at the true minimal-translation
+    direction; its spherical gradient is the TANGENTIAL component of
+    the support difference w(n) (envelope theorem). EPA's argmin-face
+    normal carries an O(sqrt(epa_rel)) angular error because h is
+    second-order flat around the optimum — visible as ~1e-3 rad normal
+    noise on cylinder-lateral contacts while the depth itself is
+    1e-7-converged, and as a ~2e-7/step qpos drift against the
+    ccd-converged oracle.
+
+    Monotone greedy descent: each round evaluates h along -grad at a
+    geometric step ladder and jumps to the best direction seen. A
+    damped fixed point on normalize(w) does NOT work here: w's
+    tangential part is feature-offset-sized (not depth-sized), so the
+    iterates overshoot and best-tracking freezes at n0 (measured).
+
+    best_h starts at +inf, not EPA's depth: EPA converges FROM BELOW,
+    so a budget-capped EPA depth is an under-estimate no true upper
+    bound can beat — seeding it froze the refinement at unconverged
+    answers. On polyhedral contacts (supports jump, h piecewise
+    linear) the descent simply returns (about) EPA's answer."""
+    del d0
+    # n0 can arrive non-unit (an EPA face whose normal barely passed the
+    # degeneracy clamp); a non-unit start corrupts every h comparison
+    n0 = n0 / jnp.sqrt(jnp.maximum(jnp.dot(n0, n0), _EPS))
+
+    def h_of(n):
+        w, _, _ = sup(n)
+        return jnp.dot(n, w), w
+
+    h0, w0 = h_of(n0)
+
+    def body(_, st):
+        n, w, best_n, best_h = st
+        g = w - jnp.dot(n, w) * n
+        g = g / jnp.sqrt(jnp.maximum(jnp.dot(g, g), _EPS))
+        for s in _REFINE_STEPS:
+            c = n - s * g
+            c = c / jnp.sqrt(jnp.maximum(jnp.dot(c, c), _EPS))
+            hc, wc = h_of(c)
+            better = hc < best_h
+            best_n = jnp.where(better, c, best_n)
+            best_h = jnp.where(better, hc, best_h)
+        hn, wn = h_of(best_n)
+        return best_n, wn, best_n, best_h
+
+    _, _, best_n, best_h = jax.lax.fori_loop(
+        0, rounds, body, (n0, w0, n0, h0)
+    )
+
+    # crease-following polish: near the optimum h(n) is a sharp
+    # V-crease — the support vertex on the polyhedral side switches
+    # across it (measured wall gradients ~0.1 while the minimum lies
+    # ALONG the crease at ~1e-5 slope). Discrete direction sampling
+    # (compass search) cannot track it: at 12-direction granularity the
+    # wall contamination sin(15deg)*0.1*r dwarfs the crease descent.
+    # Instead, recover the crease direction from the support geometry:
+    # the crease is the level set of f(n) = n . dv (dv = the difference
+    # between the two switching support points), so its tangent is
+    # cross(n, dv). Line-search along +-that direction; monotone via
+    # best-tracking. Probes on BOTH shapes cover whichever side is
+    # polyhedral; when no switch is found (smooth-smooth or already at
+    # a point optimum) the candidates simply do not improve.
+    probe = 1e-3
+    ladder = (3e-4, 1e-4, 3e-5, 1e-5, 3e-6, 1e-6)
+
+    def crease_round(_, st):
+        n, best_n, best_h = st
+        ax = jnp.where(
+            jnp.abs(n[1]) < 0.5,
+            jnp.array([0.0, 1.0, 0.0], dtype),
+            jnp.array([0.0, 0.0, 1.0], dtype),
+        )
+        t1 = ax - n * jnp.dot(n, ax)
+        t1 = t1 / jnp.sqrt(jnp.maximum(jnp.dot(t1, t1), _EPS))
+        t2 = jnp.cross(n, t1)
+        _, pa0, pb0 = sup(n)
+        diffs = []
+        for t in (t1, -t1, t2, -t2):
+            c = n + probe * t
+            c = c / jnp.sqrt(jnp.maximum(jnp.dot(c, c), _EPS))
+            _, pat, pbt = sup(c)
+            diffs.append(pat - pa0)
+            diffs.append(pbt - pb0)
+        D8 = jnp.stack(diffs)  # (8, 3)
+        norms = jnp.sum(D8 * D8, axis=1)
+        dv = D8[jnp.argmax(norms)]
+        tc = jnp.cross(n, dv)
+        tcn = jnp.sqrt(jnp.maximum(jnp.dot(tc, tc), _EPS))
+        tc = tc / tcn
+        for s_ in ladder:
+            for sgn in (1.0, -1.0):
+                c = n + sgn * s_ * tc
+                c = c / jnp.sqrt(jnp.maximum(jnp.dot(c, c), _EPS))
+                hc, _ = h_of(c)
+                better = hc < best_h
+                best_n = jnp.where(better, c, best_n)
+                best_h = jnp.where(better, hc, best_h)
+        return best_n, best_n, best_h
+
+    _, best_n, best_h = jax.lax.fori_loop(
+        0, 6, crease_round, (best_n, best_n, best_h)
+    )
+    return best_n, best_h
+
+
+# ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 def convex_contact(
     verts1, mask1, r1, kind1, pos1, mat1,
     verts2, mask2, r2, kind2, pos2, mat2,
+    gjk_iters=GJK_ITERS, epa_iters=EPA_ITERS, epa_faces=EPA_FACES,
+    cyl_segs=CYL_SEGS,
 ):
     """Single contact between two convex geoms (MuJoCo conventions).
 
@@ -541,13 +701,15 @@ def convex_contact(
     toward geom2, pos the surface midpoint.
     """
     dtype = verts1.dtype
-    sa = make_world_support(verts1, mask1, kind1, pos1, mat1)
-    sb = make_world_support(verts2, mask2, kind2, pos2, mat2)
+    sa = make_world_support(verts1, mask1, kind1, pos1, mat1,
+                            cyl_segs=cyl_segs)
+    sb = make_world_support(verts2, mask2, kind2, pos2, mat2,
+                            cyl_segs=cyl_segs)
     d0 = pos2 - pos1
     d0 = jnp.where(
         jnp.sum(d0 * d0) > _EPS, d0, jnp.array([1.0, 0, 0], dtype)
     )
-    g = gjk(sa, sb, d0=d0, dtype=dtype)
+    g = gjk(sa, sb, d0=d0, dtype=dtype, iters=gjk_iters)
 
     def separated():
         v = g["pb"] - g["pa"]
@@ -559,7 +721,25 @@ def convex_contact(
         return dist, 0.5 * (pa_s + pb_s), n
 
     def penetrating():
-        depth, n, pa, pb = epa(sa, sb, g, dtype=dtype)
+        depth, n, pa, pb = epa(
+            sa, sb, g, dtype=dtype, iters=epa_iters, faces=epa_faces
+        )
+
+        # the refinement evaluates supports only (no polytope), so it
+        # can use the ANALYTIC smooth cylinder — the snapped rim would
+        # quantize h(n) at the facet resolution (pi/cyl_segs rad) and
+        # floor the refined normal there
+        sa_s = make_world_support(verts1, mask1, kind1, pos1, mat1,
+                                  cyl_segs=None)
+        sb_s = make_world_support(verts2, mask2, kind2, pos2, mat2,
+                                  cyl_segs=None)
+
+        def supm(d):
+            a = sa_s(d)
+            b = sb_s(-d)
+            return a - b, a, b
+
+        n, depth = _refine_normal(supm, n, depth, dtype)
         dist = -depth - r1 - r2
         pa_s = pa + n * r1
         pb_s = pb - n * r2

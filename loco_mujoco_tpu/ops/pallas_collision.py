@@ -154,19 +154,22 @@ def _make_kernel(D):
                                 preferred_element_type=f32,
                             )
                             for t in (t_hi, t_lo)
-                        )  # (3+4D, BE)
+                        )  # (3+3D, BE)
                     v0x, v0y, v0z = q[0][None], q[1][None], q[2][None]
-                    ids = q[3 : 3 + D]           # (D, BE)
-                    cx = q[3 + D : 3 + 2 * D]
-                    cy = q[3 + 2 * D : 3 + 3 * D]
-                    cz = q[3 + 3 * D : 3 + 4 * D]
+                    cx = q[3 : 3 + D]            # (D, BE)
+                    cy = q[3 + D : 3 + 2 * D]
+                    cz = q[3 + 2 * D : 3 + 3 * D]
 
                     hc = cx * a0 + cy * a1 + cz * a2 + b  # (D, BE)
                     ex = cx - v0x + 0.5 * d0 * a0
                     ey = cy - v0y + 0.5 * d0 * a1
                     ez = cz - v0z + 0.5 * d0 * a2
                     dist2 = ex * ex + ey * ey + ez * ez
-                    qual = (ids > -0.5) & (hc < margin) & (dist2 >= dedupe2)
+                    # validity rides the coordinate sentinel: invalid
+                    # neighbor slots store the owner vertex, whose
+                    # dedupe distance 0.25*d0^2 always fails dist2 >=
+                    # dedupe2 (pack_plane_mesh_buckets) — no id rows
+                    qual = (hc < margin) & (dist2 >= dedupe2)
                     qf = qual.astype(f32)
 
                     big = jnp.full_like(d0, _BIG)
@@ -339,7 +342,7 @@ def pack_plane_mesh_buckets(model, pid, vcap):
         ids = np.asarray(ids)
         tabs = [model.mesh_nbr[mesh_ids[p]] for p in ids]
         D = max(1, max(t.shape[1] for t in tabs))
-        tbl = np.zeros((len(ids), 3 + 4 * D, vb), np.float32)
+        tbl = np.zeros((len(ids), 3 + 3 * D, vb), np.float32)
         for i, p in enumerate(ids):
             nv = int(counts[p])
             v = verts[p, : min(nv, vb)]
@@ -352,10 +355,19 @@ def pack_plane_mesh_buckets(model, pid, vcap):
             valid = nbr >= 0
             j = np.maximum(nbr, 0)
             coords = verts[p][j]  # (vb, D, 3)
-            tbl[i, 3 : 3 + D] = np.where(valid, nbr, -1).T
-            tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 0].T
-            tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 1].T
-            tbl[i, 3 + 3 * D : 3 + 4 * D] = coords[:, :, 2].T
+            # invalid neighbor slots carry the OWNER vertex's coords
+            # instead of dedicated id rows (23% of the gather rows):
+            # their dedupe distance to contact 0 is then 0.25*d0^2,
+            # below dedupe2 = (0.3*rbound)^2 for every |d0| < 0.6*rbound
+            # — penetration beyond that is deep-fall territory outside
+            # validated regimes (contact 0 itself is still emitted)
+            own = np.broadcast_to(
+                verts[p][:vb, None, :], coords.shape
+            )
+            coords = np.where(valid[:, :, None], coords, own)
+            tbl[i, 3 : 3 + D] = coords[:, :, 0].T
+            tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 1].T
+            tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 2].T
         # per-pair directed extents (axis-aligned lo/hi in the mesh frame):
         # the kernel's conservative support-distance bound (skip gate).
         # min_v (a . v) >= sum_i min(a_i lo_i, a_i hi_i) — much tighter

@@ -61,6 +61,17 @@ class RowPlan:
 
     def __init__(self, model: Model, con_dim, ncon):
         self.ok = False
+        # convex GJK/EPA groups (slot-layout tail, staged-driver-only)
+        # are censored from every Pallas plan BEFORE any dims checks:
+        # the in-kernel collision stages do not produce them, so the
+        # solve sizes to the classic prefix and their efc_force slots
+        # read back as zero
+        from .collision import classic_ncon
+
+        cn = classic_ncon(model)
+        if ncon > cn:
+            ncon = cn
+            con_dim = np.asarray(con_dim)[:cn]
         opt = model.opt
         self.elliptic = bool(ncon) and opt.cone == int(ConeType.ELLIPTIC)
         dims = [int(d) for d in np.asarray(con_dim)] if ncon else []
@@ -457,9 +468,11 @@ class RowPlan:
 
         if _os.environ.get("LMT_ELL_FAST", "1") == "0":
             return
+        from .collision import classic_ncon
+
         rmax = int(_os.environ.get("LMT_FAST_RANKS_ELL", "4"))
         groups, total, _ = contact_groups(model)
-        if total != self.ncon:
+        if classic_ncon(model) != self.ncon:
             return
         fast = []
         for g in groups:
@@ -613,6 +626,8 @@ class RowPlan:
         groups, _, _ = contact_groups(model)
         g1s = set()
         for g in groups:
+            if g.convex:  # staged-driver tail groups: not in-kernel
+                continue
             if int(g.t1) != 0:  # not plane-first
                 return
             g1 = np.asarray(model.pair_geom1)[g.pair_ids]
@@ -2163,22 +2178,27 @@ def fused_constraint(model: Model, data, plan: RowPlan):
     dtype = data.qpos.dtype
     ncon = plan.ncon
     if ncon:
+        # plan.ncon is the classic prefix — any convex tail slots in the
+        # soup are not solved on this path (see RowPlan censoring)
         if plan.uniform:
             fields = [
-                con.pos, con.dist[..., None],
-                con.geom2.astype(dtype)[..., None],
+                con.pos[:ncon], con.dist[:ncon, None],
+                con.geom2[:ncon].astype(dtype)[..., None],
             ]
             if not plan.fric_uniform:
-                fields.append(con.friction[:, :2])
+                fields.append(con.friction[:ncon, :2])
         else:
             gb = jnp.asarray(model.geom_bodyid)
             biw = jnp.asarray(model.body_invweight0, dtype=dtype)[:, 0]
-            b1 = gb[con.geom1]
-            b2 = gb[con.geom2]
+            b1 = gb[con.geom1[:ncon]]
+            b2 = gb[con.geom2[:ncon]]
             fields = [
-                con.pos, con.frame.reshape(ncon, 9), con.dist[..., None],
-                con.includemargin[..., None], con.friction[:, :plan.nfric],
-                con.solref, con.solimp, (biw[b1] + biw[b2])[..., None],
+                con.pos[:ncon], con.frame[:ncon].reshape(ncon, 9),
+                con.dist[:ncon, None],
+                con.includemargin[:ncon, None],
+                con.friction[:ncon, :plan.nfric],
+                con.solref[:ncon], con.solimp[:ncon],
+                (biw[b1] + biw[b2])[..., None],
                 b1.astype(dtype)[..., None], b2.astype(dtype)[..., None],
             ]
         con_pack = jnp.concatenate(
@@ -2223,9 +2243,9 @@ def fused_constraint(model: Model, data, plan: RowPlan):
                 # s0 + f*ncon + c (per-contact order restored here)
                 rowidx[c, :nrow] = s0 + np.arange(nrow) * plan.ncon + c
             rowmsk[c, :nrow] = True
-        efc_force_contact = jnp.where(
+        efc_force_contact = _pad_slots(jnp.where(
             jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
-        )
+        ), int(data.efc_force_contact.shape[0]))
 
     return data.replace(
         qacc=x.astype(dtype),
@@ -2414,6 +2434,17 @@ def get_mega_solver(plan: RowPlan, iterations: int, ls_iterations: int,
     return solve
 
 
+def _pad_slots(x, full, fill=0.0):
+    """Pad a (plan.ncon, ...)-shaped slot array back to the allocated
+    soup size: convex tail slots (staged-driver-only) stay inactive on
+    the Pallas paths. Keeps Data pytree shapes stable across paths."""
+    n = x.shape[0]
+    if full <= n:
+        return x
+    pad = jnp.full((full - n,) + x.shape[1:], fill, x.dtype)
+    return jnp.concatenate([x, pad])
+
+
 def mega_forward(model: Model, data, plan: RowPlan):
     """Drop-in for the whole forward pass (mj_forward) on mega-capable
     models: FK, collision, smooth stage, constraint assembly and the
@@ -2446,13 +2477,19 @@ def mega_forward(model: Model, data, plan: RowPlan):
 
     ncon = plan.ncon
     con = data.contact
+    full = con.dist.shape[0]
     contact = con.replace(
-        dist=cdist.astype(dtype),
-        geom1=jnp.full((ncon,), plan.colp.plane_gid, con.geom1.dtype),
-        geom2=cgid.astype(con.geom2.dtype),
-        includemargin=jnp.full((ncon,), plan.c_margin, dtype),
-        friction=jnp.broadcast_to(
-            jnp.asarray(plan.c_fric5, dtype), (ncon, 5)
+        dist=_pad_slots(cdist.astype(dtype), full, 1e10),
+        geom1=_pad_slots(
+            jnp.full((ncon,), plan.colp.plane_gid, con.geom1.dtype), full
+        ),
+        geom2=_pad_slots(cgid.astype(con.geom2.dtype), full),
+        includemargin=_pad_slots(
+            jnp.full((ncon,), plan.c_margin, dtype), full
+        ),
+        friction=_pad_slots(
+            jnp.broadcast_to(jnp.asarray(plan.c_fric5, dtype), (ncon, 5)),
+            full,
         ),
     )
     maxd = int(data.efc_force_contact.shape[-1])
@@ -2463,6 +2500,7 @@ def mega_forward(model: Model, data, plan: RowPlan):
         )
     else:
         efc = efc[:, :maxd]
+    efc = _pad_slots(efc, full)
 
     out = data.replace(
         qacc=x.astype(dtype),
@@ -2496,12 +2534,13 @@ def _mega_ell_finish(model: Model, data, plan: RowPlan, outs, dtype):
         fric[i:i + nsl] = g["fric5"]
         i += nsl
     con = data.contact
+    full = con.dist.shape[0]
     contact = con.replace(
-        dist=cdist.astype(dtype),
-        geom1=cgid1.astype(con.geom1.dtype),
-        geom2=cgid2.astype(con.geom2.dtype),
-        includemargin=jnp.asarray(incl, dtype),
-        friction=jnp.asarray(fric, dtype),
+        dist=_pad_slots(cdist.astype(dtype), full, 1e10),
+        geom1=_pad_slots(cgid1.astype(con.geom1.dtype), full),
+        geom2=_pad_slots(cgid2.astype(con.geom2.dtype), full),
+        includemargin=_pad_slots(jnp.asarray(incl, dtype), full),
+        friction=_pad_slots(jnp.asarray(fric, dtype), full),
     )
 
     efc_force_contact = data.efc_force_contact
@@ -2518,9 +2557,9 @@ def _mega_ell_finish(model: Model, data, plan: RowPlan, outs, dtype):
                 # blocked facet layout: facet f of slot c at s0 + f*ncon + c
                 rowidx[c, :nrow] = s0 + np.arange(nrow) * ncon + c
             rowmsk[c, :nrow] = True
-        efc_force_contact = jnp.where(
+        efc_force_contact = _pad_slots(jnp.where(
             jnp.asarray(rowmsk), force[jnp.asarray(rowidx)], 0.0
-        ).astype(dtype)
+        ).astype(dtype), full)
 
     return data.replace(
         qacc=x.astype(dtype),

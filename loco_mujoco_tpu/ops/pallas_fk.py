@@ -415,11 +415,18 @@ class ColPlan:
             int(GeomType.MESH): "mesh",
         }
 
+        from .collision import classic_ncon
+
         self.groups = []
-        self.ncon = total
+        # convex GJK/EPA groups occupy the slot-layout TAIL and stay on
+        # the staged (CPU/f64) driver; the in-kernel plan censors them by
+        # sizing to the classic prefix (offsets unchanged)
+        self.ncon = classic_ncon(model)
         plane_gid = None
         n_mesh = 0
         for g in groups:
+            if g.convex:
+                continue
             if int(g.t1) != _PLANE or int(g.condim) != 3:
                 raise ValueError("non-plane or non-condim3 group")
             kind = _KIND.get(int(g.t2))
@@ -732,23 +739,24 @@ def _mesh_group_slots(g, fk, my_tbls, n, pp_n, zero, eshape, body_t):
                             axis=0, keepdims=True,
                         )
                         oh0 = (iota == i0).astype(f32)
-                        q = _gather_dot(tbl, oh0)  # (3+4D, *E)
+                        q = _gather_dot(tbl, oh0)  # (3+3D, *E)
                         v0x, v0y, v0z = (
                             q[0][None], q[1][None], q[2][None]
                         )
-                        ids_n = q[3:3 + D]
-                        cx = q[3 + D:3 + 2 * D]
-                        cy = q[3 + 2 * D:3 + 3 * D]
-                        cz = q[3 + 3 * D:3 + 4 * D]
+                        cx = q[3:3 + D]
+                        cy = q[3 + D:3 + 2 * D]
+                        cz = q[3 + 2 * D:3 + 3 * D]
                         hc = cx * a0 + cy * a1 + cz * a2 + bb
                         ex = cx - v0x + 0.5 * d0 * a0
                         ey = cy - v0y + 0.5 * d0 * a1
                         ez = cz - v0z + 0.5 * d0 * a2
                         dist2 = ex * ex + ey * ey + ez * ez
-                        qual = (
-                            (ids_n > -0.5) & (hc < margin)
-                            & (dist2 >= dedupe2)
-                        )
+                        # validity rides the coordinate sentinel: invalid
+                        # neighbor slots store the OWNER vertex, whose
+                        # dedupe distance 0.25*d0^2 fails dist2 >=
+                        # dedupe2 (pack_plane_mesh_buckets) — the D id
+                        # rows (23% of the gather) are gone
+                        qual = (hc < margin) & (dist2 >= dedupe2)
                         qf = qual.astype(f32)
                         big = jnp.full_like(d0, _BIG)
                         zr = jnp.zeros_like(d0)
@@ -1560,10 +1568,16 @@ class ColPlanExt:
             elif t == "box":
                 rb[gid] = float(np.linalg.norm(s))
 
+        from .collision import classic_ncon
+
         self.groups = []
-        self.ncon = total
+        # convex GJK/EPA tail groups stay on the staged driver (see
+        # ColPlan); the ext plan sizes to the classic prefix
+        self.ncon = classic_ncon(model)
         plane_gid = None
         for g in groups:
+            if g.convex:
+                continue
             t1, t2 = _T.get(int(g.t1)), _T.get(int(g.t2))
             if (t1, t2) not in self._SUP:
                 raise ValueError(f"unsupported ext group {t1}-{t2}")
