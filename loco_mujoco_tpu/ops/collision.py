@@ -879,6 +879,33 @@ def collision(model: Model, data: Data) -> Data:
         pg1 = model.pair_geom1[pid]
         pg2 = model.pair_geom2[pid]
 
+        if g.convex and dtype != jnp.float64:
+            # f32 = the Pallas-accelerated production dtype: the mega/ext
+            # plans censor convex slots (RowPlan), so the staged driver
+            # emits them inactive too — identical contact sets on every
+            # f32 stage. Skipped BEFORE midphase: the top_k here lowers
+            # to a TPU sort kernel, which alone cost A1 (202 convex
+            # candidate pairs) a 891k -> 473k steps/s regression.
+            ks = g.k * g.slots
+            dists.append(jnp.full((ks,), 1e10, dtype))
+            poss.append(jnp.zeros((ks, 3), dtype))
+            frames.append(jnp.broadcast_to(
+                jnp.eye(3, dtype=dtype), (ks, 3, 3)
+            ))
+            static_sel = pid[: g.k]
+            rep = lambda x: jnp.repeat(jnp.asarray(x), g.slots, axis=0)
+            g1s.append(rep(model.pair_geom1[static_sel]))
+            g2s.append(rep(model.pair_geom2[static_sel]))
+            fris.append(rep(model.pair_friction[static_sel]))
+            srefs.append(rep(model.pair_solref[static_sel]))
+            simps.append(rep(model.pair_solimp[static_sel]))
+            margins.append(rep(
+                model.pair_margin[static_sel]
+                - model.pair_gap[static_sel]
+            ))
+            dims.extend([g.condim] * ks)
+            continue
+
         if g.t1 == _PLANE and g.t2 == _MESH:
             (d, p, f, sg1, sg2, fri, sref, simp, marg) = _plane_mesh_group(
                 model, g, data
@@ -946,19 +973,9 @@ def collision(model: Model, data: Data) -> Data:
         s2 = model.geom_size[sg2]
         margin = model.pair_margin[sel_p]
 
-        if g.convex and dtype != jnp.float64:
-            # f32 = the Pallas-accelerated production dtype: the mega/ext
-            # plans censor convex slots (RowPlan), so the staged driver
-            # emits them inactive too — identical contact sets on every
-            # f32 stage, zero narrowphase cost. The f64 parity path (CPU
-            # oracle acceptance) computes them fully.
-            ks = g.k * g.slots
-            d = jnp.full((g.k, g.slots), 1e10, dtype)
-            p = jnp.zeros((g.k, g.slots, 3), dtype)
-            f = jnp.broadcast_to(
-                jnp.eye(3, dtype=dtype), (g.k, g.slots, 3, 3)
-            )
-        elif g.convex:
+        if g.convex:
+            # f64 parity path only (the f32 branch skipped this group
+            # before the midphase above)
             d, p, f = _convex_narrow(model, g, sg1, sg2, data)
         else:
             extra = None

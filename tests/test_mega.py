@@ -18,6 +18,12 @@ from loco_mujoco_tpu.ops import forward as fwd
 from loco_mujoco_tpu.ops import pallas_newton as pn
 from loco_mujoco_tpu.ops import pallas_constraint as pc
 
+# interpret-mode mega-kernel parity compiles the full fused program on
+# the CPU backend (minutes per test): nightly/full-suite only.
+# tools/run_tests.sh runs `-m "not slow_interpret"` by default; FULL=1
+# includes these.
+pytestmark = pytest.mark.slow_interpret
+
 
 @pytest.fixture(autouse=True)
 def _f32_mode():

@@ -1,8 +1,14 @@
 """Per-task TPU throughput sweep in ONE process (single TPU claim).
 
+Writes BENCH_TASKS.json {task: env_steps_per_s} and compares against the
+previous run's table: any task >10% below its prior number is reported
+as a REGRESSION and the sweep exits 2 (the per-task perf regression
+gate — round-4 lost 4-6% on H1/Talos silently).
+
 Usage: python tools/bench_all_tasks.py [task ...]
 Env:   BENCH_N_ENVS (default 4096), BENCH_N_STEPS (default 30)
 """
+import json
 import os
 import sys
 import time
@@ -29,6 +35,10 @@ TASKS = sys.argv[1:] or [
 
 print(f"devices: {jax.devices()}  N={N} REPS={REPS}", flush=True)
 copts = tpu_compiler_options()
+
+_TBL = Path(__file__).resolve().parent.parent / "BENCH_TASKS.json"
+prev = json.loads(_TBL.read_text()) if _TBL.exists() else {}
+results = {}
 
 for task in TASKS:
     try:
@@ -57,6 +67,7 @@ for task in TASKS:
         float(jnp.sum(states.obs))
         dt = (time.time() - t0) / REPS
         ok = bool(jnp.isfinite(states.obs).all())
+        results[task] = round(N / dt)
         print(
             f"RESULT {task}: {dt*1e3:8.1f} ms/step  {N/dt:10,.0f} env-steps/s"
             f"  (reset {t_reset:.0f}s, step-compile {t_compile:.0f}s,"
@@ -65,3 +76,19 @@ for task in TASKS:
         )
     except Exception as e:  # keep sweeping on per-task failure
         print(f"RESULT {task}: FAIL {type(e).__name__}: {e}", flush=True)
+
+# ---- regression gate vs the previous table --------------------------------
+rc = 0
+for task, v in results.items():
+    old = prev.get(task)
+    if old and v < 0.9 * old:
+        print(f"REGRESSION {task}: {v:,} vs previous {old:,} "
+              f"({100 * (v / old - 1):+.1f}%)", flush=True)
+        rc = 2
+    elif old:
+        print(f"ok {task}: {v:,} vs previous {old:,} "
+              f"({100 * (v / old - 1):+.1f}%)", flush=True)
+merged = dict(prev)
+merged.update(results)
+_TBL.write_text(json.dumps(merged, indent=1, sort_keys=True) + "\n")
+sys.exit(rc)
