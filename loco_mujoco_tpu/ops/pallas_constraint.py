@@ -517,15 +517,24 @@ class RowPlan:
         need = [
             model.body_mass, model.body_inertia, model.jnt_type,
             model.jnt_qposadr, model.jnt_dofadr, model.jnt_stiffness,
-            model.qpos_spring, model.dof_damping, model.dof_armature,
+            model.qpos_spring, model.dof_armature,
             opt.gravity, model.body_jntadr, model.body_jntnum,
             model.jnt_bodyid, model.dof_bodyid,
         ]
         vals = [_conc(x) for x in need]
         if any(v is None for v in vals):
             return
-        (mass, inertia, jtype, jqadr, jdadr, jstiff, qspring, damping,
+        (mass, inertia, jtype, jqadr, jdadr, jstiff, qspring,
          armature, gravity, bjadr, bjnum, jbody, dbody) = vals
+        # traced damping (domain randomization of joint damping — the
+        # reference DR config's main knob) rides as PER-ENV KERNEL
+        # OPERAND rows appended to the packed vec instead of gating the
+        # whole smooth specialization (and with it the mega path) off:
+        # that gate cost the DR flagship a 3.7x slowdown (52k steps/s)
+        damping = _conc(model.dof_damping)
+        self.sm_dyn_damping = damping is None
+        if self.sm_dyn_damping:
+            damping = np.zeros(model.nv)
 
         nu = model.nu
         acts = []
@@ -763,6 +772,8 @@ def get_plan(model: Model, contact):
             int(model.opt.cone), float(model.opt.timestep),
             float(model.opt.impratio),
             int(model.opt.disableflags), dims,
+            # DR plans differ structurally (damping as operand rows)
+            _conc(model.dof_damping) is None,
         )
     except Exception:
         return None
@@ -936,7 +947,7 @@ class _MegaAcc:
         return self.vp[self.o_ws:self.o_ws + self.nv]
 
 
-def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero):
+def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero, damp_rows=None):
     nv, nb, njnt, nu = (
         plan.nv, plan.nbody, plan.sm_njnt, plan.sm_nu
     )
@@ -1098,8 +1109,13 @@ def _smooth_preamble(plan: RowPlan, acc, qpos, qvel, zero):
 
     # --- passive: joint springs + dof dampers (passive.passive) ---
     if plan.sm_passive_on:
-        qpass = [-plan.sm_damping[d] * qvel[d] if plan.sm_damping[d]
-                 else zero for d in range(nv)]
+        if damp_rows is not None:
+            # domain-randomized damping: per-env operand rows (appended
+            # to the packed vec) instead of static floats
+            qpass = [-damp_rows[d] * qvel[d] for d in range(nv)]
+        else:
+            qpass = [-plan.sm_damping[d] * qvel[d] if plan.sm_damping[d]
+                     else zero for d in range(nv)]
         for sp in plan.sm_jnt_spring:
             qpass[sp["d"]] = qpass[sp["d"]] - sp["k"] * (
                 qpos[sp["q"]] - sp["ref"]
@@ -1217,8 +1233,14 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
                 plan.colp, fkres, tbl_refs, zero_env, qpos.shape[1:]
             )
         acc_m = _MegaAcc(plan, vp, fkres, zero_env, ws_arr=ws_arr)
+        damp_rows = None
+        if getattr(plan, "sm_dyn_damping", False):
+            o_damp = (plan.nq + nv + plan.na + plan.sm_nu + nv
+                      + 6 * plan.nbody + nv)
+            damp_rows = [vp[o_damp + d] for d in range(nv)]
         (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
-            _smooth_preamble(plan, acc_m, qpos, qvel, zero_env)
+            _smooth_preamble(plan, acc_m, qpos, qvel, zero_env,
+                             damp_rows=damp_rows)
         )
         if plan.mp is not None:
             # tendon + muscle-FLV stage (MXU form); act_dot is an
@@ -1244,9 +1266,15 @@ def _forward_env_block(plan: RowPlan, iterations, ls_iterations, scale,
         def cdof(v, i):
             return cdof_tab[v][i]
     elif plan.smooth:
+        damp_rows = None
+        if getattr(plan, "sm_dyn_damping", False):
+            o_damp = (plan.nq + nv + 12 * plan.nbody
+                      + 6 * plan.sm_njnt + plan.sm_nu + nv
+                      + 6 * plan.nbody + nv)
+            damp_rows = [vp[o_damp + d] for d in range(nv)]
         (cdof_tab, com_l, ci_list, qfs_vec, ws_vec, arm_at) = (
             _smooth_preamble(plan, _VpAcc(plan, vp), qpos, qvel,
-                             zero_env)
+                             zero_env, damp_rows=damp_rows)
         )
 
         def cdof(v, i):
@@ -1935,10 +1963,17 @@ def _make_fused_kernel(plan: RowPlan, iterations, ls_iterations,
         # arrays so any power-of-two S lowers — see _fused_batched); drop
         # it on read. Lanes layout: blocks are already (K..., BE).
         if mega and getattr(plan, "mega_ell", False):
+            # mesh-carrying ext plans (G1) pass their bucket tables as
+            # pallas inputs exactly like the plain mega branch — the old
+            # empty-tuple unpack mis-assigned tables to output refs and
+            # IndexError'd in _mesh_group_slots (latent: the megastep
+            # kernel was the only exercised mega_ell path until round 5)
+            n_tbl = int(plan.colp.n_mesh_tables)
             vp_ref = refs[0]
-            tbl_refs = mus_refs = ()
+            tbl_refs = refs[1:1 + n_tbl]
+            mus_refs = ()
             (x_ref, qfrc_ref, asm_ref, cdist_ref, cgid_ref,
-             cgid1_ref, force_ref, *extra_refs) = refs[1:]
+             cgid1_ref, force_ref, *extra_refs) = refs[1 + n_tbl:]
             cp_ref = cforce_ref = None
         elif mega:
             from . import pallas_fk as pfk
@@ -2209,13 +2244,16 @@ def fused_constraint(model: Model, data, plan: RowPlan):
 
     # ONE packed per-env vector (layouts documented in _make_fused_kernel)
     if plan.smooth:
-        vec = jnp.concatenate([
+        parts = [
             data.qpos, data.qvel,
             data.xipos.reshape(-1), data.ximat.reshape(-1),
             data.xanchor.reshape(-1), data.xaxis.reshape(-1),
             data.ctrl, data.qfrc_applied, data.xfrc_applied.reshape(-1),
             data.qacc_warmstart,
-        ]).astype(dtype)
+        ]
+        if getattr(plan, "sm_dyn_damping", False):
+            parts.append(jnp.asarray(model.dof_damping, dtype))
+        vec = jnp.concatenate(parts).astype(dtype)
     else:
         com = data.subtree_com[plan.root]
         vec = jnp.concatenate([
@@ -2460,10 +2498,13 @@ def mega_forward(model: Model, data, plan: RowPlan):
         tolerance=max(model.opt.tolerance, 1e-6),
     )
     dtype = data.qpos.dtype
-    vec = jnp.concatenate([
+    parts = [
         data.qpos, data.qvel, data.act, data.ctrl, data.qfrc_applied,
         data.xfrc_applied.reshape(-1), data.qacc_warmstart,
-    ]).astype(dtype)
+    ]
+    if getattr(plan, "sm_dyn_damping", False):
+        parts.append(jnp.asarray(model.dof_damping, dtype))
+    vec = jnp.concatenate(parts).astype(dtype)
     outs = solver_fn(vec)
     if getattr(plan, "mega_ell", False):
         return _mega_ell_finish(model, data, plan, outs, dtype)
@@ -2892,6 +2933,19 @@ def mega_step_n(model: Model, data, plan: RowPlan, n_steps: int):
     from ..core.types import DisableBit as _DB
     from ..core.types import IntegratorType as _IT
 
+    import os as _os
+
+    # G1-class ext plans (big resident mesh tables): the LOOPED megastep
+    # program's Mosaic schedule consumes any scoped budget it is granted
+    # and lands ~3.5 MB past the acceptance check at every limit value
+    # since the round-5 table relayout. Run the per-substep ext-mega
+    # forward instead (same kernels, one dispatch per substep);
+    # LMT_MEGA_ELL_MEGASTEP=1 re-enables the loop for experiments.
+    if (getattr(plan, "mega_ell", False)
+            and (getattr(plan, "mega_tbl_bytes", 0) or 0) > 12 * 1024 * 1024
+            and _os.environ.get("LMT_MEGA_ELL_MEGASTEP", "0") != "1"):
+        return None
+
     integ = int(model.opt.integrator)
     if integ == int(_IT.RK4):
         if model.na:
@@ -2919,10 +2973,13 @@ def mega_step_n(model: Model, data, plan: RowPlan, n_steps: int):
         act_bounds=act_bounds,
     )
     dtype = data.qpos.dtype
-    vec = jnp.concatenate([
+    parts = [
         data.qpos, data.qvel, data.act, data.ctrl, data.qfrc_applied,
         data.xfrc_applied.reshape(-1), data.qacc_warmstart,
-    ]).astype(dtype)
+    ]
+    if getattr(plan, "sm_dyn_damping", False):
+        parts.append(jnp.asarray(model.dof_damping, dtype))
+    vec = jnp.concatenate(parts).astype(dtype)
     qpos, qvel, act, ws = solver_fn(vec)
     return data.replace(
         qpos=qpos.astype(dtype),

@@ -84,7 +84,11 @@ def vmem_params():
     the Mosaic stack — more than the 16 MiB default scoped limit. Passing
     the budget as kernel CompilerParams frees callers from threading
     jit-level compiler options (plain `jax.jit(env.step)` works)."""
-    budget = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "81920")) * 1024
+    # acceptance-check limit, ABOVE the jit-level scheduling budget:
+    # Mosaic schedules to the jit-level xla_tpu_scoped_vmem_limit_kib
+    # and overshoots ~10% (G1 megastep: 88.8 MB at an 80 MB target);
+    # this value only gates the final check, so grant the headroom
+    budget = int(os.environ.get("LMT_PALLAS_VMEM_KIB", "92160")) * 1024
     kw = {}
     if os.environ.get("LMT_SHAPE_INVARIANT") == "0":
         # Mosaic's shape-invariant-numerics mode rejects ADD-reductions

@@ -17,6 +17,12 @@ from __future__ import annotations
 import os
 
 SCOPED_VMEM_KIB = int(os.environ.get("LMT_SCOPED_VMEM_KIB", "81920"))
+# Mosaic SCHEDULES its live-ranges to this jit-level budget (and
+# overshoots it ~10%); the pallas-level CompilerParams value only sets
+# the acceptance check. Keep the schedule target at the calibrated
+# 80 MiB and let pallas_newton.vmem_params grant the ~10% overshoot
+# headroom (96 MiB) — raising THIS value inflates every kernel's
+# schedule and G1's megastep then overshoots any limit.
 
 # Persistent compilation cache: the flagship step executable costs ~85 s to
 # compile; cache it on disk so each tool/test/bench pays it once per machine
