@@ -298,7 +298,7 @@ def _select_batched_raw(tbl_tuple, a, b, marg_tuple, D):
     return dist[:P], vsel[:P]
 
 
-def pack_plane_mesh_buckets(model, pid, vcap):
+def pack_plane_mesh_buckets(model, pid, vcap, with_ids=False):
     """Shared static packing for the plane-mesh kernels: bucket the pairs
     by hull size and build each bucket's (Pb, 3+4D, V) table
     [vx, vy, vz, nbr_id(D), nbrx(D), nbry(D), nbrz(D)] plus per-pair
@@ -342,7 +342,14 @@ def pack_plane_mesh_buckets(model, pid, vcap):
         ids = np.asarray(ids)
         tabs = [model.mesh_nbr[mesh_ids[p]] for p in ids]
         D = max(1, max(t.shape[1] for t in tabs))
-        tbl = np.zeros((len(ids), 3 + 3 * D, vb), np.float32)
+        # with_ids keeps the legacy (3+4D)-row layout with dedicated
+        # neighbor-id rows: the G1 ext-mega kernel's Mosaic schedule
+        # regressed past the scoped-VMEM limit with the sentinel layout
+        # (88.8 MB vs the 80 MB it compiled at in round 4), so the ext
+        # plan opts back in; consumers detect the layout from the row
+        # count (3+4D vs 3+3D).
+        rows = 3 + (4 if with_ids else 3) * D
+        tbl = np.zeros((len(ids), rows, vb), np.float32)
         for i, p in enumerate(ids):
             nv = int(counts[p])
             v = verts[p, : min(nv, vb)]
@@ -365,9 +372,12 @@ def pack_plane_mesh_buckets(model, pid, vcap):
                 verts[p][:vb, None, :], coords.shape
             )
             coords = np.where(valid[:, :, None], coords, own)
-            tbl[i, 3 : 3 + D] = coords[:, :, 0].T
-            tbl[i, 3 + D : 3 + 2 * D] = coords[:, :, 1].T
-            tbl[i, 3 + 2 * D : 3 + 3 * D] = coords[:, :, 2].T
+            o = 3 + (D if with_ids else 0)
+            if with_ids:
+                tbl[i, 3 : 3 + D] = np.where(valid, nbr, -1).T
+            tbl[i, o : o + D] = coords[:, :, 0].T
+            tbl[i, o + D : o + 2 * D] = coords[:, :, 1].T
+            tbl[i, o + 2 * D : o + 3 * D] = coords[:, :, 2].T
         # per-pair directed extents (axis-aligned lo/hi in the mesh frame):
         # the kernel's conservative support-distance bound (skip gate).
         # min_v (a . v) >= sum_i min(a_i lo_i, a_i hi_i) — much tighter

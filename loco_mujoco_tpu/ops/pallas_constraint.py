@@ -2933,19 +2933,6 @@ def mega_step_n(model: Model, data, plan: RowPlan, n_steps: int):
     from ..core.types import DisableBit as _DB
     from ..core.types import IntegratorType as _IT
 
-    import os as _os
-
-    # G1-class ext plans (big resident mesh tables): the LOOPED megastep
-    # program's Mosaic schedule consumes any scoped budget it is granted
-    # and lands ~3.5 MB past the acceptance check at every limit value
-    # since the round-5 table relayout. Run the per-substep ext-mega
-    # forward instead (same kernels, one dispatch per substep);
-    # LMT_MEGA_ELL_MEGASTEP=1 re-enables the loop for experiments.
-    if (getattr(plan, "mega_ell", False)
-            and (getattr(plan, "mega_tbl_bytes", 0) or 0) > 12 * 1024 * 1024
-            and _os.environ.get("LMT_MEGA_ELL_MEGASTEP", "0") != "1"):
-        return None
-
     integ = int(model.opt.integrator)
     if integ == int(_IT.RK4):
         if model.na:

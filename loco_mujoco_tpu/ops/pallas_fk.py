@@ -455,7 +455,9 @@ class ColPlan:
                 import os as _os
 
                 vcap = int(_os.environ.get("LMT_MESH_VCAP", "5632"))
-                packed = pack_plane_mesh_buckets(model, pid, vcap)
+                packed = pack_plane_mesh_buckets(
+                    model, pid, vcap, with_ids=True
+                )
                 if packed is None:
                     raise ValueError("mesh pack failed (brute/oversized)")
                 subs, border = packed
@@ -739,24 +741,29 @@ def _mesh_group_slots(g, fk, my_tbls, n, pp_n, zero, eshape, body_t):
                             axis=0, keepdims=True,
                         )
                         oh0 = (iota == i0).astype(f32)
-                        q = _gather_dot(tbl, oh0)  # (3+3D, *E)
+                        q = _gather_dot(tbl, oh0)  # (3+3D | 3+4D, *E)
                         v0x, v0y, v0z = (
                             q[0][None], q[1][None], q[2][None]
                         )
-                        cx = q[3:3 + D]
-                        cy = q[3 + D:3 + 2 * D]
-                        cz = q[3 + 2 * D:3 + 3 * D]
+                        # two table layouts (pack_plane_mesh_buckets):
+                        # sentinel (3+3D, plane-mega — invalid neighbor
+                        # slots carry the owner vertex, whose dedupe
+                        # distance 0.25*d0^2 fails dist2 >= dedupe2, so
+                        # the D id rows are gone: 23% fewer gather rows)
+                        # vs legacy with-ids (3+4D, ext plans)
+                        has_ids = tbl.shape[0] == 3 + 4 * D
+                        o = 3 + (D if has_ids else 0)
+                        cx = q[o:o + D]
+                        cy = q[o + D:o + 2 * D]
+                        cz = q[o + 2 * D:o + 3 * D]
                         hc = cx * a0 + cy * a1 + cz * a2 + bb
                         ex = cx - v0x + 0.5 * d0 * a0
                         ey = cy - v0y + 0.5 * d0 * a1
                         ez = cz - v0z + 0.5 * d0 * a2
                         dist2 = ex * ex + ey * ey + ez * ez
-                        # validity rides the coordinate sentinel: invalid
-                        # neighbor slots store the OWNER vertex, whose
-                        # dedupe distance 0.25*d0^2 fails dist2 >=
-                        # dedupe2 (pack_plane_mesh_buckets) — the D id
-                        # rows (23% of the gather) are gone
                         qual = (hc < margin) & (dist2 >= dedupe2)
+                        if has_ids:
+                            qual = qual & (q[3:3 + D] > -0.5)
                         qf = qual.astype(f32)
                         big = jnp.full_like(d0, _BIG)
                         zr = jnp.zeros_like(d0)
@@ -1625,7 +1632,9 @@ class ColPlanExt:
                 if g.slots != 3:
                     raise ValueError("plane-mesh slots != 3")
                 vcap = int(_os.environ.get("LMT_MESH_VCAP", "5632"))
-                packed = pack_plane_mesh_buckets(model, pid, vcap)
+                packed = pack_plane_mesh_buckets(
+                    model, pid, vcap, with_ids=True
+                )
                 if packed is None:
                     raise ValueError("mesh pack failed")
                 subs, border = packed
