@@ -2138,7 +2138,7 @@ def _fused_batched(plan: RowPlan, iterations, ls_iterations, scale,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=pn._INTERPRET,
-        compiler_params=pn.vmem_params(),
+        compiler_params=pn.vmem_params(plan),
     )(*ins)
 
     if grouped:
@@ -2422,7 +2422,7 @@ def _mega_batched(plan: RowPlan, iterations, ls_iterations, scale,
         out_specs=[spec(k) for k in ks],
         out_shape=[osh(k) for k in ks],
         interpret=pn._INTERPRET,
-        compiler_params=pn.vmem_params(),
+        compiler_params=pn.vmem_params(plan),
     )(*ins)
 
     if grouped:
@@ -2875,7 +2875,7 @@ def _megastep_batched(plan: RowPlan, iterations, ls_iterations, scale,
         out_specs=[spec(k) for k in ks],
         out_shape=[osh(k) for k in ks],
         interpret=pn._INTERPRET,
-        compiler_params=pn.vmem_params(),
+        compiler_params=pn.vmem_params(plan),
     )(*ins)
 
     if grouped:

@@ -455,9 +455,7 @@ class ColPlan:
                 import os as _os
 
                 vcap = int(_os.environ.get("LMT_MESH_VCAP", "5632"))
-                packed = pack_plane_mesh_buckets(
-                    model, pid, vcap, with_ids=True
-                )
+                packed = pack_plane_mesh_buckets(model, pid, vcap)
                 if packed is None:
                     raise ValueError("mesh pack failed (brute/oversized)")
                 subs, border = packed

@@ -77,18 +77,24 @@ def pick_sublanes(E, bytes_per_env=None):
 _INTERPRET = False
 
 
-def vmem_params():
+def vmem_params(plan=None):
     """Per-kernel scoped-VMEM request for the solver kernels.
 
     The grouped (S, 128) env blocks keep S x 128 envs of Newton state on
     the Mosaic stack — more than the 16 MiB default scoped limit. Passing
     the budget as kernel CompilerParams frees callers from threading
-    jit-level compiler options (plain `jax.jit(env.step)` works)."""
-    # acceptance-check limit, ABOVE the jit-level scheduling budget:
-    # Mosaic schedules to the jit-level xla_tpu_scoped_vmem_limit_kib
-    # and overshoots ~10% (G1 megastep: 88.8 MB at an 80 MB target);
-    # this value only gates the final check, so grant the headroom
-    budget = int(os.environ.get("LMT_PALLAS_VMEM_KIB", "92160")) * 1024
+    jit-level compiler options (plain `jax.jit(env.step)` works).
+
+    Mosaic SCHEDULES into whatever budget this grants (measured: G1's
+    megastep tracks the value MB-for-MB, and the flagship lost ~7%
+    steps/s when the default was raised), so the budget is PER-PLAN:
+    only big-table ext plans (G1) get the 90 MiB their schedule floor
+    needs; everything else keeps the calibrated 80 MiB."""
+    big_ext = plan is not None and getattr(plan, "mega_ell", False) and (
+        getattr(plan, "mega_tbl_bytes", 0) or 0
+    ) > 12 * 1024 * 1024
+    default = "92160" if big_ext else "81920"
+    budget = int(os.environ.get("LMT_PALLAS_VMEM_KIB", default)) * 1024
     kw = {}
     if os.environ.get("LMT_SHAPE_INVARIANT") == "0":
         # Mosaic's shape-invariant-numerics mode rejects ADD-reductions
